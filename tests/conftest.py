@@ -1,0 +1,17 @@
+"""Test configuration: force CPU JAX with 8 virtual devices.
+
+Must run before the first ``import jax`` anywhere in the test session so the
+distributed tests can build a multi-device ``jax.sharding.Mesh`` without TPU
+hardware (SURVEY.md §4 item 4).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
