@@ -284,8 +284,10 @@ def _march(tree: TreeArrays, opt: RenderOptions, cen, d, invdir, delta_scale,
         alpha = jnp.ones(Rn, _F32)
     else:
         rgb = jnp.where(renorm[:, None], acc / (1.0 - light[:, None]), acc)
-        alpha = jnp.where(stopped & (not differentiable) & opt.renormalize,
-                          1.0, 1.0 - light)
+        # early-stopped rays report alpha=1 (rt_core.cuh:183) even when the
+        # color renormalization is disabled; training mode keeps the smooth
+        # 1-light so gradients stay well-defined
+        alpha = jnp.where(stopped & (not differentiable), 1.0, 1.0 - light)
         alpha = jnp.where(hit, alpha, 0.0)
     return rgb, alpha
 
