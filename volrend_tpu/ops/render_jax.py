@@ -14,12 +14,16 @@ One semantics — the oracle's (``ops/oracle.py``, transcribed from
 
 All math float32; leaf data stays fp16 in HBM and is widened per-sample, as
 the CUDA path does (rt_core.cuh:118-119).
+
+Internals are written against ``(data, child, lut, meta)`` rather than the
+TreeArrays pytree so the hand-written fused VJP (``ops/grad.py``) can share
+the exact same march core.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -33,11 +37,27 @@ from volrend_tpu.ops import basis as basis_mod
 from volrend_tpu.utils.options import RenderOptions
 
 __all__ = [
-    "query_batched", "render_rays", "render_image", "world2ndc",
-    "prepare_rays", "make_render_fn",
+    "TreeMeta", "tree_meta", "query_batched", "render_rays", "render_image",
+    "world2ndc", "prepare_rays", "make_render_fn",
 ]
 
 _F32 = jnp.float32
+
+
+class TreeMeta(NamedTuple):
+    """Hashable static description of a TreeArrays (jit-static)."""
+    N: int
+    data_dim: int
+    basis_dim: int
+    fmt: int
+    max_depth: int
+    lut_depth: int
+    ndc: Optional[Tuple[float, float, float]]
+
+
+def tree_meta(tree: TreeArrays) -> TreeMeta:
+    return TreeMeta(tree.N, tree.data_dim, tree.basis_dim, int(tree.fmt),
+                    tree.max_depth, tree.lut_depth, tree.ndc)
 
 
 # ---------------------------------------------------------------------------
@@ -50,8 +70,7 @@ def _descend(child_flat, xyz, ptr, cube_sz, leaf_idx, done, N: int,
 
     Each level is ONE batched gather from ``child`` — all lanes advance
     together, already-finished lanes are masked (the reference's serial
-    pointer chase, n3tree_query.hpp:22-47, vectorized).
-    """
+    pointer chase, n3tree_query.hpp:22-47, vectorized)."""
     fN = _F32(N)
     N3 = N ** 3
     for _ in range(n_levels):
@@ -72,46 +91,49 @@ def _descend(child_flat, xyz, ptr, cube_sz, leaf_idx, done, N: int,
     return leaf_idx, cube_sz, xyz
 
 
-def query_batched(tree: TreeArrays, pos):
+def _query(child, lut, pos, meta: TreeMeta):
     """Batched point query. pos (..., 3) in tree coords.
 
     Returns (leaf_idx (...,) int32 — flat cell index into data,
              cube_sz (...,) f32 — N**depth of the leaf,
-             rel (..., 3) f32 — leaf-local coords in [0,1)).
-    """
-    N = tree.N
+             rel (..., 3) f32 — leaf-local coords in [0,1))."""
+    N = meta.N
     xyz = jnp.clip(pos.astype(_F32), 0.0, 1.0 - 1e-6)
     shape = xyz.shape[:-1]
     zeros_i = jnp.zeros(shape, jnp.int32)
 
-    if tree.lut_depth > 0:
+    if meta.lut_depth > 0:
         # TPU-native path: one gather resolves (leaf, depth) exactly.
-        Rl = N ** tree.lut_depth
+        Rl = N ** meta.lut_depth
         cell = jnp.clip(jnp.floor(xyz * Rl).astype(jnp.int32), 0, Rl - 1)
         flat = (cell[..., 0] * Rl + cell[..., 1]) * Rl + cell[..., 2]
-        e = tree.lut.reshape(-1)[flat]
+        e = lut.reshape(-1)[flat]
         is_leaf = e >= 0
         leaf_idx = jnp.where(is_leaf, e >> 4, zeros_i)
-        depth = jnp.where(is_leaf, e & 15, tree.lut_depth)
+        depth = jnp.where(is_leaf, e & 15, meta.lut_depth)
         cube_table = jnp.asarray(
             np.float32(N) ** np.arange(16, dtype=np.float32))
         cube_sz = cube_table[depth]
         scaled = xyz * cube_sz[..., None]
         rel = scaled - jnp.floor(scaled)
-        n_resid = tree.max_depth + 1 - tree.lut_depth
+        n_resid = meta.max_depth + 1 - meta.lut_depth
         if n_resid <= 0:
             return leaf_idx, cube_sz, rel
         # resume descent from the stored interior node at depth lut_depth
         node = jnp.where(is_leaf, zeros_i, -(e + 1))
         ptr = node * (N ** 3)
-        cube_sz = jnp.where(is_leaf, cube_sz, _F32(N ** (tree.lut_depth + 1)))
-        return _descend(tree.child, rel, ptr, cube_sz, leaf_idx, is_leaf,
+        cube_sz = jnp.where(is_leaf, cube_sz, _F32(N ** (meta.lut_depth + 1)))
+        return _descend(child, rel, ptr, cube_sz, leaf_idx, is_leaf,
                         N, n_resid)
 
     cube_sz = jnp.full(shape, N, _F32)
     done = jnp.zeros(shape, bool)
-    return _descend(tree.child, xyz, zeros_i, cube_sz, zeros_i, done,
-                    N, tree.max_depth + 1)
+    return _descend(child, xyz, zeros_i, cube_sz, zeros_i, done,
+                    N, meta.max_depth + 1)
+
+
+def query_batched(tree: TreeArrays, pos):
+    return _query(tree.child, tree.lut, pos, tree_meta(tree))
 
 
 # ---------------------------------------------------------------------------
@@ -156,8 +178,7 @@ def prepare_rays(tree: TreeArrays, origins, dirs, opt: RenderOptions):
     """World rays -> (cen_tree, dir_unit, vdir, invdir, delta_scale).
 
     Applies NDC warp, world->tree transform, viewdir rotation, and the
-    direction rescale of ``_get_delta_scale`` (rt_core.cuh:51-63).
-    """
+    direction rescale of ``_get_delta_scale`` (rt_core.cuh:51-63)."""
     dirs = dirs.astype(_F32)
     origins = origins.astype(_F32)
     vdir = dirs
@@ -193,33 +214,58 @@ def _dda_unit(rel, invdir):
     return jnp.minimum(1e4, jnp.min(jnp.maximum(t1, t2), -1))
 
 
-# ---------------------------------------------------------------------------
-# The march
-# ---------------------------------------------------------------------------
-
 def _precalc_basis(tree: TreeArrays, vdir, opt: RenderOptions):
     if tree.basis_dim < 0:
-        return None
+        return jnp.zeros(vdir.shape[:-1] + (0,), _F32)
     vals = basis_mod.eval_basis(
         BasisType(tree.fmt), tree.basis_dim, vdir, tree.extra, xp=jnp)
     return basis_mod.apply_basis_window(
         vals.astype(_F32), opt.basis_minmax, xp=jnp)
 
 
-def _march(tree: TreeArrays, opt: RenderOptions, cen, d, invdir, delta_scale,
-           basis_vals, tmin, tmax, differentiable: bool,
-           n_steps: Optional[int] = None):
+# ---------------------------------------------------------------------------
+# The march
+# ---------------------------------------------------------------------------
+
+def _sample_step(data, child, lut, meta: TreeMeta, opt: RenderOptions,
+                 cen, d, invdir, basis_vals, t):
+    """One march step's sample quantities for all rays (shared by forward,
+    scan-forward and the analytic backward re-march)."""
+    Rn = cen.shape[0]
+    pos = cen + t[:, None] * d
+    leaf_idx, cube_sz, rel = _query(child, lut, pos, meta)
+    vals = data[leaf_idx].astype(_F32)               # (R, D) gather
+    sigma = vals[:, -1]
+    t_sub = _dda_unit(rel, invdir) / cube_sz
+    delta_t = t_sub + _F32(opt.step_size)
+    if opt.render_depth or meta.basis_dim < 0:
+        rgb = vals[:, :3]
+        raw = rgb
+    else:
+        bd = meta.basis_dim
+        coeffs = vals[:, :3 * bd].reshape(Rn, 3, bd)
+        raw = jnp.einsum("rcb,rb->rc", coeffs, basis_vals)
+        rgb = jax.nn.sigmoid(raw)
+    return leaf_idx, sigma, delta_t, rgb, raw
+
+
+def _march(data, child, lut, meta: TreeMeta, opt: RenderOptions,
+           cen, d, invdir, delta_scale, basis_vals, tmin, tmax,
+           differentiable: bool, n_steps: Optional[int] = None,
+           train: Optional[bool] = None):
     """Core march loop over a ray batch.
 
     differentiable=False: masked lax.while_loop until every ray terminates
     (matches the reference's unbounded ``while t < tmax``).
     differentiable=True: fixed-length lax.scan (n_steps iterations) so
-    reverse-mode autodiff works; early-stopped lanes are masked, never
-    renormalized (training mode, see SURVEY.md §2.4).
-    """
+    reverse-mode autodiff works.
+    train: use training termination semantics (no early-stop renormalization,
+    smooth alpha = 1 - light; see SURVEY.md §2.4); defaults to
+    ``differentiable``. The fused custom-VJP forward uses while_loop + train
+    semantics."""
     Rn = cen.shape[0]
-    data = tree.data
-    bd = tree.basis_dim
+    if train is None:
+        train = differentiable
 
     hit = (tmax >= 0) & (tmin <= tmax)
     state = dict(
@@ -231,12 +277,8 @@ def _march(tree: TreeArrays, opt: RenderOptions, cen, d, invdir, delta_scale,
     )
 
     def body(s):
-        pos = cen + s["t"][:, None] * d
-        leaf_idx, cube_sz, rel = query_batched(tree, pos)
-        vals = data[leaf_idx].astype(_F32)          # (R, D) gather, f16->f32
-        sigma = vals[:, -1]
-        t_sub = _dda_unit(rel, invdir) / cube_sz
-        delta_t = t_sub + _F32(opt.step_size)
+        leaf_idx, sigma, delta_t, rgb, _ = _sample_step(
+            data, child, lut, meta, opt, cen, d, invdir, basis_vals, s["t"])
         valid = s["active"] & (sigma > opt.sigma_thresh)
         att = jnp.exp(-delta_t * delta_scale * sigma)
         weight = s["light"] * (1.0 - att)
@@ -244,12 +286,8 @@ def _march(tree: TreeArrays, opt: RenderOptions, cen, d, invdir, delta_scale,
             contrib = jnp.stack(
                 [weight * s["t"], jnp.zeros_like(weight),
                  jnp.zeros_like(weight)], -1)
-        elif bd >= 0:
-            coeffs = vals[:, :3 * bd].reshape(Rn, 3, bd)
-            raw = jnp.einsum("rcb,rb->rc", coeffs, basis_vals)
-            contrib = weight[:, None] * jax.nn.sigmoid(raw)
         else:
-            contrib = weight[:, None] * vals[:, :3]
+            contrib = weight[:, None] * rgb
         acc = s["acc"] + jnp.where(valid[:, None], contrib, 0.0)
         light = jnp.where(valid, s["light"] * att, s["light"])
         stopped_now = valid & (light < opt.stop_thresh)
@@ -273,10 +311,16 @@ def _march(tree: TreeArrays, opt: RenderOptions, cen, d, invdir, delta_scale,
             s, i = carry
             return body(s), i + 1
 
-        state, _ = lax.while_loop(cond, wbody, (state, jnp.int32(0)))
+        (state, _) = lax.while_loop(cond, wbody, (state, jnp.int32(0)))
 
+    return _finalize(state, hit, opt, train)
+
+
+def _finalize(state, hit, opt: RenderOptions, train: bool):
+    """Per-ray termination semantics (rt_core.cuh:176-194)."""
     light, acc, stopped = state["light"], state["acc"], state["stopped"]
-    renorm = stopped & (not differentiable) & opt.renormalize
+    Rn = light.shape[0]
+    renorm = stopped & (not train) & opt.renormalize
     if opt.render_depth:
         dep = jnp.minimum(acc[:, 0] * 0.3, 1.0)
         dep = jnp.where(renorm, dep / (1.0 - light), dep)
@@ -287,10 +331,14 @@ def _march(tree: TreeArrays, opt: RenderOptions, cen, d, invdir, delta_scale,
         # early-stopped rays report alpha=1 (rt_core.cuh:183) even when the
         # color renormalization is disabled; training mode keeps the smooth
         # 1-light so gradients stay well-defined
-        alpha = jnp.where(stopped & (not differentiable), 1.0, 1.0 - light)
+        alpha = jnp.where(stopped & (not train), 1.0, 1.0 - light)
         alpha = jnp.where(hit, alpha, 0.0)
     return rgb, alpha
 
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
 
 def render_rays(tree: TreeArrays, origins, dirs, opt: RenderOptions,
                 tmax_bg=None, differentiable: bool = False,
@@ -298,15 +346,15 @@ def render_rays(tree: TreeArrays, origins, dirs, opt: RenderOptions,
     """Render world-space rays; returns (R, 4) RGBA with background composited
     (render_kernel offscreen semantics, volrend.cu:135-163).
 
-    tmax_bg: optional (R,) world-space distance cap for mesh compositing.
-    """
+    tmax_bg: optional (R,) world-space distance cap for mesh compositing."""
     cen, d, vdir, invdir, delta_scale = prepare_rays(tree, origins, dirs, opt)
     basis_vals = _precalc_basis(tree, vdir, opt)
     tmin, tmax = _dda_world(cen, invdir, opt.render_bbox)
     if tmax_bg is not None:
         tmax = jnp.minimum(tmax, tmax_bg / delta_scale)
-    rgb, alpha = _march(tree, opt, cen, d, invdir, delta_scale, basis_vals,
-                        tmin, tmax, differentiable, n_steps)
+    rgb, alpha = _march(tree.data, tree.child, tree.lut, tree_meta(tree), opt,
+                        cen, d, invdir, delta_scale, basis_vals, tmin, tmax,
+                        differentiable, n_steps)
     rgb = rgb + (_F32(opt.background_brightness) * (1.0 - alpha))[:, None]
     return jnp.concatenate([rgb, alpha[:, None]], -1)
 
