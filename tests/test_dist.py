@@ -1,0 +1,77 @@
+"""Distributed tests on a virtual 8-device CPU mesh (SURVEY.md §4 item 4).
+
+The sharded renderer must produce the same image as single-device, and the
+psum-reduced leaf gradients must match the single-device fused VJP.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from volrend_tpu.models.synthetic import make_test_tree
+from volrend_tpu.ops import grad as grad_mod
+from volrend_tpu.ops import render_jax
+from volrend_tpu.ops.camera import Camera
+from volrend_tpu.parallel import dist
+from volrend_tpu.utils.options import RenderOptions
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=2)
+    dev = tree.to_device(lut_depth=None)
+    cam = Camera.from_vectors(width=24, height=24, fx=30.0)
+    origins, dirs = cam.pixel_rays(xp=np)
+    opt = RenderOptions(max_steps=128)
+    return dev, origins, dirs, opt
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_render_matches_single(setup, n_dev):
+    dev, origins, dirs, opt = setup
+    single = np.asarray(render_jax.render_rays(
+        dev, jnp.asarray(origins), jnp.asarray(dirs), opt))
+
+    mesh = dist.make_mesh(jax.devices()[:n_dev])
+    tree = dist.replicate_tree(dev, mesh)
+    o, d, n = dist.shard_rays(origins, dirs, mesh)
+    out = np.asarray(dist.render_rays_sharded(tree, o, d, opt, mesh))[:n]
+    # not bit-identical to the unsharded jit program (XLA reassociation
+    # differs under shard_map), but must agree to float32 ulp level
+    np.testing.assert_allclose(out, single, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_grads_match_single(setup):
+    dev, origins, dirs, opt = setup
+    data32 = jnp.asarray(dev.data, jnp.float32)
+    target = np.full((origins.shape[0], 4), 0.4, np.float32)
+
+    # single-device reference (same loss normalization: mean over 3*R)
+    def loss_fn(dat):
+        out = grad_mod.render_rays_train(
+            dev, jnp.asarray(origins), jnp.asarray(dirs), opt, data=dat)
+        diff = out[:, :3] - jnp.asarray(target)[:, :3]
+        return jnp.sum(diff * diff) / (3.0 * origins.shape[0])
+
+    loss_ref, grad_ref = jax.value_and_grad(loss_fn)(data32)
+
+    mesh = dist.make_mesh(jax.devices()[:8])
+    tree = dist.replicate_tree(dev, mesh)
+    o, d, _ = dist.shard_rays(origins, dirs, mesh)
+    tgt, _, _ = dist.shard_rays(target, np.zeros_like(origins), mesh)
+    loss, grad = dist.loss_and_grad_sharded(tree, data32, o, d, tgt, opt, mesh)
+
+    assert np.isclose(float(loss), float(loss_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

@@ -1,0 +1,149 @@
+"""Distributed rendering & training: rays sharded over a device mesh.
+
+The reference is strictly single-device — its only parallelism is the
+per-pixel CUDA grid (``src/cuda/volrend.cu:86,228-233``). The TPU-native
+scaling model (SURVEY.md §2.3, §5.8) keeps that structure but lifts it onto a
+``jax.sharding.Mesh``:
+
+- **DP over rays** (the primary axis): the flat ray batch is sharded along a
+  1-D ``rays`` mesh axis with ``shard_map``; the octree (child/data/lut) is
+  replicated. Rays are independent, so forward rendering needs **zero**
+  collectives.
+- **Gradients**: each shard scatter-adds into its local per-leaf gradient
+  buffer; one ``psum`` over the mesh all-reduces them across ICI. That is the
+  only communication in a training step.
+- **Multi-host**: the same code runs under ``jax.distributed.initialize``;
+  pose batches are sharded per process, images gathered only if requested.
+
+All functions take the mesh explicitly so tests can run on a virtual 8-device
+CPU mesh (``XLA_FLAGS=--xla_force_host_platform_device_count=8``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from volrend_tpu.models.n3tree import TreeArrays
+from volrend_tpu.ops import grad as grad_mod
+from volrend_tpu.ops import render_jax
+from volrend_tpu.utils.options import RenderOptions
+
+__all__ = [
+    "make_mesh", "replicate_tree", "shard_rays", "render_rays_sharded",
+    "render_image_sharded", "loss_and_grad_sharded", "pad_to_multiple",
+]
+
+
+def make_mesh(devices=None, axis_name: str = "rays") -> Mesh:
+    """A flat 1-D mesh over all (or the given) devices.
+
+    A single ``rays`` axis is the right topology for a renderer: rays are
+    independent, so any physical arrangement (ring, torus slice, multi-host)
+    flattens to one logical data axis; the only collective (grad psum) is a
+    full all-reduce that XLA maps onto ICI rings itself.
+    """
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate_tree(tree: TreeArrays, mesh: Mesh) -> TreeArrays:
+    """Place every tree array fully-replicated on the mesh (one HBM copy per
+    chip, like the reference's per-GPU cudaMalloc upload, src/cuda/n3tree.cu)."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), tree)
+
+
+def pad_to_multiple(arr: np.ndarray, m: int, axis: int = 0):
+    """Pad axis 0 up to a multiple of m; returns (padded, original_len)."""
+    n = arr.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return arr, n
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths), n
+
+
+def shard_rays(origins, dirs, mesh: Mesh, axis_name: str = "rays"):
+    """Pad + device_put rays sharded along the mesh axis.
+
+    Returns (origins, dirs, n_valid)."""
+    n_dev = mesh.shape[axis_name]
+    origins, n = pad_to_multiple(np.asarray(origins), n_dev)
+    dirs, _ = pad_to_multiple(np.asarray(dirs), n_dev)
+    sh = NamedSharding(mesh, P(axis_name))
+    return (jax.device_put(jnp.asarray(origins), sh),
+            jax.device_put(jnp.asarray(dirs), sh), n)
+
+
+def _shmap(fn, mesh, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+@partial(jax.jit, static_argnames=("opt", "mesh", "axis_name"))
+def render_rays_sharded(tree: TreeArrays, origins, dirs, opt: RenderOptions,
+                        mesh: Mesh, axis_name: str = "rays"):
+    """Forward render with rays sharded across the mesh; returns (R, 4) RGBA
+    sharded the same way. Zero collectives — pure DP."""
+    tree_spec = jax.tree_util.tree_map(lambda _: P(), tree)
+
+    def local(tree_l, o_l, d_l):
+        return render_jax.render_rays(tree_l, o_l, d_l, opt)
+
+    fn = _shmap(local, mesh,
+                in_specs=(tree_spec, P(axis_name), P(axis_name)),
+                out_specs=P(axis_name))
+    return fn(tree, origins, dirs)
+
+
+def render_image_sharded(tree: TreeArrays, cam, opt: RenderOptions,
+                         mesh: Mesh, axis_name: str = "rays") -> np.ndarray:
+    """Full-frame render sharded over the mesh; returns (H, W, 4) on host."""
+    origins, dirs = cam.pixel_rays(xp=np)
+    o, d, n = shard_rays(origins, dirs, mesh, axis_name)
+    out = render_rays_sharded(tree, o, d, opt, mesh, axis_name)
+    return np.asarray(out)[:n].reshape(cam.height, cam.width, 4)
+
+
+@partial(jax.jit, static_argnames=("opt", "mesh", "axis_name"),
+         donate_argnums=())
+def loss_and_grad_sharded(tree: TreeArrays, data, origins, dirs, target,
+                          opt: RenderOptions, mesh: Mesh,
+                          axis_name: str = "rays"):
+    """Sharded training step core: mean-squared pixel loss + per-leaf grads.
+
+    data: (K, data_dim) master copy (float32 recommended) — replicated.
+    origins/dirs/target: sharded along ``axis_name``.
+    Returns (loss scalar, grad (K, data_dim)) — both fully replicated after
+    the ``psum`` over ICI (the step's only collective)."""
+    tree_spec = jax.tree_util.tree_map(lambda _: P(), tree)
+    n_total = origins.shape[0]
+
+    def local(tree_l, data_l, o_l, d_l, tgt_l):
+        def loss_fn(dat):
+            out = grad_mod.render_rays_train(tree_l, o_l, d_l, opt, data=dat)
+            diff = out[:, :3] - tgt_l[:, :3]
+            # sum here; normalize by the global count so the psum'd value is
+            # the true global mean
+            return jnp.sum(diff * diff) / (3.0 * n_total)
+
+        loss, g = jax.value_and_grad(loss_fn)(data_l)
+        loss = jax.lax.psum(loss, axis_name)
+        g = jax.lax.psum(g.astype(jnp.float32), axis_name)
+        return loss, g
+
+    fn = _shmap(local, mesh,
+                in_specs=(tree_spec, P(), P(axis_name), P(axis_name),
+                          P(axis_name)),
+                out_specs=(P(), P()))
+    return fn(tree, data, origins, dirs, target)
