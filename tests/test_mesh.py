@@ -1,0 +1,146 @@
+"""Mesh subsystem: primitives, OBJ, drawlist npz, rasterizer, compositing."""
+
+import io
+
+import numpy as np
+import pytest
+
+from volrend_tpu.models.mesh import (Mesh, estimate_normals, load_basic_obj,
+                                     open_drawlist)
+from volrend_tpu.models.synthetic import make_test_tree
+from volrend_tpu.ops.camera import Camera
+from volrend_tpu.ops.composite import (probe_coeffs, probe_image,
+                                       render_frame_with_meshes,
+                                       wireframe_mesh)
+from volrend_tpu.ops.rasterize import rasterize_meshes
+from volrend_tpu.utils.options import RenderOptions
+
+
+def test_primitives_shapes():
+    c = Mesh.Cube((1, 0, 0))
+    assert c.vert.shape == (36, 9)
+    assert np.allclose(np.abs(c.vert[:, :3]).max(), 0.5)
+    assert np.allclose(c.vert[:, 3:6], [1, 0, 0])
+    s = Mesh.Sphere(15, 30)
+    assert s.vert.shape == (450, 9)
+    assert s.faces.shape == (14 * 30 * 6,)
+    assert np.allclose(np.linalg.norm(s.vert[:, :3], axis=1), 1.0, atol=1e-5)
+    lat = Mesh.Lattice(4)
+    assert lat.vert.shape == (64, 9) and lat.face_size == 1
+    f = Mesh.CameraFrustum(1111.0, 800, 800)
+    assert f.vert.shape == (5, 9) and f.faces.shape == (16,)
+    ln = Mesh.Lines(np.arange(12, dtype=np.float32))
+    assert ln.faces.tolist() == [0, 1, 1, 2, 2, 3]
+
+
+def test_repeat_and_transform():
+    m = Mesh.CameraFrustum(100.0, 64, 64)
+    nv = m.n_verts
+    m.repeat(3)
+    assert m.n_verts == nv * 3
+    assert m.faces[16] == nv  # second copy offset
+    before = m.vert[nv:2 * nv, :3].copy()
+    m.apply_transform((0, 0, np.pi / 2), (1.0, 2.0, 3.0), nv, 2 * nv)
+    after = m.vert[nv:2 * nv, :3]
+    exp = np.stack([-before[:, 1] + 1.0, before[:, 0] + 2.0,
+                    before[:, 2] + 3.0], -1)
+    np.testing.assert_allclose(after, exp, atol=1e-5)
+
+
+def test_estimate_normals():
+    vert = np.zeros((3, 9), np.float32)
+    vert[1, 0] = 1.0
+    vert[2, 1] = 1.0
+    estimate_normals(vert, np.array([0, 1, 2], np.uint32))
+    np.testing.assert_allclose(vert[:, 6:9], [[0, 0, 1]] * 3, atol=1e-6)
+
+
+def test_obj_roundtrip(tmp_path):
+    obj = """
+v 0 0 0 1 0 0
+v 1 0 0 0 1 0
+v 0 1 0 0 0 1
+v 1 1 0
+f 1 2 3
+f 1 2 3 4
+"""
+    m = load_basic_obj(obj, from_string=True)
+    assert m.n_verts == 4
+    assert m.faces.tolist() == [0, 1, 2, 0, 1, 2, 0, 2, 3]
+    np.testing.assert_allclose(m.vert[0, 3:6], [1, 0, 0])
+
+
+def test_drawlist_npz(tmp_path):
+    p = str(tmp_path / "draw.npz")
+    np.savez(
+        p,
+        mycube="cube",
+        mycube__color=np.array([0.1, 0.2, 0.3], np.float32),
+        mycube__scale=np.float32(2.0),
+        mycube__translation=np.array([1, 2, 3], np.float32),
+        cams="camerafrustum",
+        cams__t=np.zeros((4, 3), np.float32),
+        cams__r=np.zeros((4, 3), np.float32),
+        cams__connect=np.int32(1),
+        pts="points",
+        pts__points=np.random.rand(10, 3).astype(np.float32),
+        pts__vert_color=np.random.rand(10, 3).astype(np.float32),
+    )
+    meshes = {m.name: m for m in open_drawlist(p)}
+    assert set(meshes) == {"mycube", "cams", "pts"}
+    assert meshes["mycube"].scale == 2.0
+    np.testing.assert_allclose(meshes["mycube"].vert[0, 3:6], [0.1, 0.2, 0.3])
+    np.testing.assert_allclose(meshes["mycube"].translation, [1, 2, 3])
+    cams = meshes["cams"]
+    assert cams.n_verts == 20
+    assert cams.faces.shape[0] == 16 * 4 + 3 * 2  # 4 frusta + 3 connectors
+    assert meshes["pts"].face_size == 1
+
+
+@pytest.fixture(scope="module")
+def cam():
+    back = np.array([1.0, 0.3, 0.4])
+    back /= np.linalg.norm(back)
+    return Camera.from_vectors(center=tuple(back * 2.5), v_back=tuple(back),
+                               width=48, height=48, fx=60.0)
+
+
+def test_rasterize_cube(cam):
+    cube = Mesh.Cube((0.2, 0.9, 0.3))
+    buf = rasterize_meshes([cube], cam)
+    hit = np.isfinite(buf.dist)
+    assert 0.02 < hit.mean() < 0.9
+    # distances are euclidean: all hits roughly |center| +- cube radius
+    d = buf.dist[hit]
+    assert d.min() > 2.5 - 1.0 and d.max() < 2.5 + 1.0
+    assert buf.color[hit].max() > 0.05
+
+
+def test_mesh_volume_compositing(cam):
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5, sigma_scale=60.0)
+    dev = tree.to_device(lut_depth=None)
+    opt = RenderOptions(max_steps=256)
+    plain = render_frame_with_meshes(dev, cam, opt, [])
+    cube = Mesh.Cube((1.0, 0.0, 0.0))
+    cube.scale = 0.4
+    # place the cube between camera and volume so it occludes
+    cube.translation = np.asarray(cam.center * 0.55, np.float32)
+    withmesh = render_frame_with_meshes(dev, cam, opt, [cube])
+    assert withmesh.shape == (48, 48, 4)
+    diff = np.abs(withmesh - plain).max(axis=-1)
+    assert (diff > 0.05).any()          # mesh visibly composited
+    # mesh-covered pixels are opaque
+    buf = rasterize_meshes([cube], cam)
+    assert np.all(withmesh[..., 3][np.isfinite(buf.dist)] > 0.999)
+
+
+def test_wireframe_and_probe():
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5)
+    dev = tree.to_device(lut_depth=None)
+    wf = wireframe_mesh(tree, max_depth=2)
+    assert wf.face_size == 2 and wf.n_verts > 0 and wf.n_verts % 24 == 0
+    co = probe_coeffs(dev, (0.1, 0.2, 0.3))
+    assert co.shape == (tree.data_dim,)
+    img = probe_image(dev, (0.1, 0.2, 0.3), size=32)
+    assert img.shape == (32, 32, 3)
+    assert np.all((img >= 0) & (img <= 1))

@@ -1,0 +1,92 @@
+"""Slab (shear-warp) renderer vs the exact T2 renderer.
+
+The slab path visits the same full-resolution voxels with the same
+compositing math; differences come only from x/y corner-voxel clipping and
+the per-segment step epsilon, so images must agree to high PSNR from every
+viewing octant.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from volrend_tpu.models.synthetic import make_test_tree
+from volrend_tpu.ops import dense_grid, render_jax, slab_render
+from volrend_tpu.ops.camera import Camera
+from volrend_tpu.utils.options import RenderOptions
+
+
+@pytest.fixture(scope="module")
+def scene():
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5, sigma_scale=60.0)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    return dev, grid
+
+
+def psnr(a, b):
+    mse = float(np.mean((a - b) ** 2))
+    return 99.0 if mse < 1e-12 else -10.0 * np.log10(mse)
+
+
+def make_cam(back, width=48, height=48):
+    back = np.asarray(back, np.float64)
+    back /= np.linalg.norm(back)
+    up = (0.0, 0.0, 1.0) if abs(back[2]) < 0.9 else (0.0, 1.0, 0.0)
+    return Camera.from_vectors(center=tuple(2.5 * back), v_back=tuple(back),
+                               v_world_up=up, width=width, height=height,
+                               fx=60.0)
+
+
+def test_bake_full_res_exact(scene):
+    dev, grid = scene
+    assert grid.G == dense_grid.full_resolution(dev)
+    # voxel centers must hold exactly the leaf payloads
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (256, 3)).astype(np.float32)
+    leaf_idx, _, _ = render_jax.query_batched(dev, jnp.asarray(pts))
+    ref = np.asarray(dev.data)[np.asarray(leaf_idx)]
+    vox = np.clip((pts * grid.G).astype(np.int64), 0, grid.G - 1)
+    got = np.asarray(grid.data)[vox[:, 0], vox[:, 1], vox[:, 2]]
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("back", [
+    (1, 0.2, 0.3), (-1, 0.1, -0.2), (0.2, 1, 0.1), (0.1, -1, 0.25),
+    (0.3, 0.1, 1), (-0.2, -0.1, -1), (0.5, 0.45, 0.4),
+])
+def test_slab_matches_exact_renderer(scene, back):
+    dev, grid = scene
+    cam = make_cam(back)
+    opt = RenderOptions(max_steps=512)
+
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    perm, flip, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
+    assert np.isfinite(slope)
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+
+    p = psnr(out[..., :3], ref[..., :3])
+    assert p > 30.0, f"PSNR {p:.1f} dB too low for back={back}"
+    # alpha masks must agree except at silhouettes
+    mismatch = np.mean(np.abs(out[..., 3] - ref[..., 3]) > 0.5)
+    assert mismatch < 0.02
+
+
+def test_depth_mode_runs(scene):
+    dev, grid = scene
+    cam = make_cam((1, 0.2, 0.3))
+    opt = RenderOptions(render_depth=True, max_steps=512)
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    assert np.all(np.isfinite(out))
+
+
+def test_render_bbox(scene):
+    dev, grid = scene
+    cam = make_cam((0.3, 0.1, 1))
+    opt = RenderOptions(render_bbox=(0.25, 0.25, 0.25, 0.75, 0.75, 0.75),
+                        max_steps=512)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    assert psnr(out[..., :3], ref[..., :3]) > 28.0

@@ -1,0 +1,122 @@
+"""Headless batch renderer — the ``volrend_headless`` equivalent.
+
+Flag-compatible with ``main_headless.cpp:77-235``: reads a 4x4 intrinsics
+txt and N pose files (3x4 / 4x4 / 4Nx4 C2W), renders every pose, optionally
+writes PNGs, and prints ``ms per frame`` / ``fps`` measured end-to-end
+around the render loop (PNG writing excluded from the timer region the same
+way the reference recommends omitting ``-o``; README.md:127-129).
+
+Renderer selection: ``--renderer slab`` (default: dense-grid shear-warp fast
+path, per-pose fallback to exact when a pose straddles the slab axis),
+``--renderer exact`` (T2 batched octree query march — bit-faithful to the
+reference semantics), ``--renderer oracle`` (NumPy reference, very slow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from volrend_tpu.cli.opts import (add_common_opts, apply_platform,
+                                  render_options_from_args)
+from volrend_tpu.models.n3tree import N3Tree
+from volrend_tpu.ops.camera import Camera, poses_from_files, read_intrins
+from volrend_tpu.utils.png import write_png
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="volrend_headless",
+        description="TPU PlenOctree batch renderer")
+    add_common_opts(p)
+    p.add_argument("poses", nargs="*", help="pose txt file(s)")
+    p.add_argument("-i", "--intrin", default="",
+                   help="intrinsics txt (4x4); overrides --fx/--fy")
+    p.add_argument("-o", "--write_images", default="",
+                   help="output directory for PNG frames")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="image scale factor")
+    p.add_argument("--max_imgs", type=int, default=0,
+                   help="max images (0 = all)")
+    p.add_argument("-r", "--reverse_yz", action="store_true",
+                   help="poses are OpenCV convention (flip y/z)")
+    p.add_argument("--renderer", choices=("slab", "exact", "oracle"),
+                   default="slab")
+    p.add_argument("--gi", type=int, default=512,
+                   help="slab-renderer intermediate resolution")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.poses:
+        print("No poses specified", file=sys.stderr)
+        return 1
+    apply_platform(args)
+
+    import jax.numpy as jnp
+    from volrend_tpu.ops import render_jax
+    from volrend_tpu.utils.options import RenderOptions
+
+    tree = N3Tree(args.file)
+    dev = tree.to_device(lut_depth=None)
+    opt = render_options_from_args(args).replace(max_steps=4096)
+
+    trans, basenames = poses_from_files(args.poses, args.reverse_yz)
+    if args.max_imgs > 0:
+        trans, basenames = trans[:args.max_imgs], basenames[:args.max_imgs]
+
+    width = int(args.width * args.scale)
+    height = int(args.height * args.scale)
+    fx = args.fx * args.scale
+    fy = args.fy * args.scale
+    if args.intrin:
+        ix, iy = read_intrins(args.intrin)
+        fx, fy = ix * args.scale, iy * args.scale
+
+    cams = [Camera(width, height, fx, fy, t) for t in trans]
+
+    grid = None
+    if args.renderer == "slab":
+        from volrend_tpu.ops import dense_grid
+        grid = dense_grid.bake_dense(dev)
+
+    def render_one(cam) -> np.ndarray:
+        if args.renderer == "oracle":
+            from volrend_tpu.ops import oracle
+            return oracle.render_image(tree, cam, opt)
+        if args.renderer == "slab":
+            from volrend_tpu.ops import slab_render
+            if slab_render.compatible(grid, cam.transform, cam.fx, cam.fy,
+                                      cam.width, cam.height):
+                return slab_render.render_image(grid, cam, opt, gi=args.gi)
+        return np.asarray(render_jax.render_image(dev, cam, opt))
+
+    # warmup/compile outside the timer (the reference's first-frame CUDA
+    # compile cost is likewise excluded by its cudaEvent placement)
+    _ = render_one(cams[0])
+
+    frames = []
+    t0 = time.perf_counter()
+    for cam in cams:
+        frames.append(render_one(cam))
+    dt = time.perf_counter() - t0
+
+    n = len(cams)
+    print(f"{1e3 * dt / n:.10f} ms per frame")
+    print(f"{n / dt:.10f} fps")
+
+    if args.write_images:
+        os.makedirs(args.write_images, exist_ok=True)
+        for name, img in zip(basenames, frames):
+            write_png(os.path.join(args.write_images, name + ".png"), img)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

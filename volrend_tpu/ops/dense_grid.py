@@ -1,0 +1,116 @@
+"""Dense-grid baking: octree -> regular voxel grid for the slab renderer.
+
+Why this exists: the reference's per-sample octree pointer-chase
+(``n3tree_query.hpp:13-48``) maps to per-row HBM gathers on TPU, which
+measure ~80 Mrows/s on v5e — three orders of magnitude short of the
+samples/s a real-time frame needs. The TPU-native answer is to trade the
+sparse pointer structure for **dense contiguous streaming**: bake leaf
+payloads into a [G, G, G, D] voxel grid once per scene, then render by
+streaming z-slabs through VMEM (``ops/slab_render.py``) — HBM traffic
+becomes `sizeof(grid)` per frame at full bandwidth instead of millions of
+scattered row fetches.
+
+Baking samples the octree at voxel centers with the exact batched query of
+``ops/render_jax.py``; when G equals the tree's finest resolution the grid
+holds *exactly* the leaf values (piecewise-constant equivalence — splitting
+a leaf chord into same-valued subsegments leaves front-to-back compositing
+algebraically unchanged).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from volrend_tpu.models.data_format import BasisType
+from volrend_tpu.models.n3tree import N3Tree, TreeArrays
+from volrend_tpu.ops import render_jax
+
+__all__ = ["DenseGrid", "bake_dense", "full_resolution"]
+
+
+def _register(cls):
+    return partial(
+        jax.tree_util.register_dataclass,
+        data_fields=["data", "offset", "scale", "extra"],
+        meta_fields=["G", "data_dim", "basis_dim", "fmt"],
+    )(cls)
+
+
+@_register
+@dataclasses.dataclass
+class DenseGrid:
+    """Dense voxel payload grid (a JAX pytree).
+
+    data  : float16 [G, G, G, D]  leaf payloads at voxel centers
+            (z-major: axis 0 is the slab axis before per-frame permutation)
+    offset/scale : world->tree transform (same as TreeArrays)
+    extra : SG/ASG lobe params ((0,0) when unused)
+    """
+    data: object
+    offset: object
+    scale: object
+    extra: object
+    G: int = 1
+    data_dim: int = 4
+    basis_dim: int = -1
+    fmt: BasisType = BasisType.RGBA
+
+
+def full_resolution(tree) -> int:
+    """Finest voxel resolution of the tree (N ** (max_depth + 1))."""
+    return int(tree.N ** (tree.max_depth + 1))
+
+
+def bake_dense(tree, G: Optional[int] = None,
+               chunk: int = 2 ** 21) -> DenseGrid:
+    """Sample the octree at G^3 voxel centers into a DenseGrid.
+
+    tree: N3Tree (host) or TreeArrays (device).
+    G: grid resolution; default = the tree's full resolution (exact bake).
+    """
+    if isinstance(tree, N3Tree):
+        dev = tree.to_device(lut_depth=None)
+    else:
+        dev = tree
+    if G is None:
+        G = full_resolution(dev)
+
+    meta = render_jax.tree_meta(dev)
+    n = G * G * G
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk //= 2
+
+    @jax.jit
+    def sample_all(child, lut, data):
+        # stays fully on device: chunked map over all voxel ids
+        # (tree arrays passed as args, NOT closed over — closure capture
+        # would embed them as giant HLO constants)
+        def sample_rows(z0_rows):
+            z = z0_rows // (G * G)
+            y = (z0_rows // G) % G
+            x = z0_rows % G
+            pos = (jnp.stack([z, y, x], -1).astype(jnp.float32) + 0.5) / G
+            leaf_idx, _, _ = render_jax._query(child, lut, pos, meta)
+            return data[leaf_idx]
+
+        ids = jnp.arange(n, dtype=jnp.int32).reshape(-1, chunk)
+        return jax.lax.map(sample_rows, ids).reshape(G, G, G, dev.data_dim)
+
+    return DenseGrid(
+        data=sample_all(dev.child, dev.lut, dev.data),
+        offset=dev.offset,
+        scale=dev.scale,
+        extra=dev.extra,
+        G=G,
+        data_dim=dev.data_dim,
+        basis_dim=dev.basis_dim,
+        fmt=dev.fmt,
+    )

@@ -341,12 +341,15 @@ def _finalize(state, hit, opt: RenderOptions, train: bool):
 # ---------------------------------------------------------------------------
 
 def render_rays(tree: TreeArrays, origins, dirs, opt: RenderOptions,
-                tmax_bg=None, differentiable: bool = False,
+                tmax_bg=None, bg_rgb=None, differentiable: bool = False,
                 n_steps: Optional[int] = None):
     """Render world-space rays; returns (R, 4) RGBA with background composited
     (render_kernel offscreen semantics, volrend.cu:135-163).
 
-    tmax_bg: optional (R,) world-space distance cap for mesh compositing."""
+    tmax_bg: optional (R,) world-space distance cap for mesh compositing.
+    bg_rgb: optional (R, 3) per-ray background (mesh color); rays where
+        tmax_bg is finite composite over it instead of the flat background
+        (volrend.cu:152-158 mesh branch)."""
     cen, d, vdir, invdir, delta_scale = prepare_rays(tree, origins, dirs, opt)
     basis_vals = _precalc_basis(tree, vdir, opt)
     tmin, tmax = _dda_world(cen, invdir, opt.render_bbox)
@@ -355,7 +358,14 @@ def render_rays(tree: TreeArrays, origins, dirs, opt: RenderOptions,
     rgb, alpha = _march(tree.data, tree.child, tree.lut, tree_meta(tree), opt,
                         cen, d, invdir, delta_scale, basis_vals, tmin, tmax,
                         differentiable, n_steps)
-    rgb = rgb + (_F32(opt.background_brightness) * (1.0 - alpha))[:, None]
+    remaining = (1.0 - alpha)[:, None]
+    bg = _F32(opt.background_brightness)
+    if bg_rgb is not None and tmax_bg is not None:
+        mesh_hit = jnp.isfinite(tmax_bg)[:, None]
+        rgb = rgb + remaining * jnp.where(mesh_hit, bg_rgb, bg)
+        alpha = jnp.where(mesh_hit[:, 0], 1.0, alpha)
+    else:
+        rgb = rgb + bg * remaining
     return jnp.concatenate([rgb, alpha[:, None]], -1)
 
 

@@ -1,0 +1,358 @@
+"""Shear-warp slab renderer: the TPU-native fast path.
+
+The reference renders by per-pixel octree pointer-chasing
+(``rt_core.cuh:66-196``) — a dependent-gather chain that GPUs hide with
+per-thread memory parallelism but that runs ~80 Mrows/s as XLA gathers on
+v5e. This module replaces the *traversal* (not the compositing math) with a
+classic shear-warp factorization re-designed for TPU dataflow:
+
+1. **Bake** the octree to a dense [G,G,G,D] grid (``ops/dense_grid.py``) —
+   piecewise-constant equivalent to the octree: splitting a leaf chord into
+   same-σ/color subsegments leaves front-to-back compositing algebraically
+   unchanged (telescoping of T·(1−exp(−σΔ)) terms).
+2. **Permute** so the camera's dominant axis is the slab axis. Every ray
+   through the pinhole center C sampled at plane z has
+   ``y = C_y + (z−C_z)·(d_y/d_z)`` — affine in the ray's *slope*. On a
+   uniform slope grid (the intermediate image), per-slab resampling is a
+   separable scale+translate: two tiny index-vector gathers instead of
+   per-sample random access. HBM traffic = the grid, streamed once,
+   contiguously — what the MXU/VPU memory system is built for.
+3. **Composite** slab-by-slab (``lax.while_loop`` with all-stopped early
+   exit) using exactly the reference accumulation math: σ-threshold, per-ray
+   world-space Δt, SH→sigmoid color, stop-threshold with alpha/renorm
+   semantics of ``rt_core.cuh:176-194``.
+4. **Warp** the intermediate image to the screen with one projective
+   bilinear resample (small-table gathers).
+
+Quality matches per-pixel ray marching up to (a) x/y-boundary corner voxels
+that a DDA would clip at sub-slab precision and (b) the per-segment
+``step_size`` epsilon; see tests/test_slab_render.py for PSNR gates vs the
+exact T2 renderer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from volrend_tpu.models.data_format import BasisType
+from volrend_tpu.ops import basis as basis_mod
+from volrend_tpu.ops.dense_grid import DenseGrid
+from volrend_tpu.utils.options import RenderOptions
+
+__all__ = ["choose_axis", "compatible", "render_frame", "render_image"]
+
+_F32 = jnp.float32
+
+
+def _cam_corners(width: int, height: int, fx: float, fy: float,
+                 n_edge: int = 33) -> np.ndarray:
+    """Camera-space dirs sampling the image boundary (slope extremes of a
+    projective map live on the boundary)."""
+    xs = np.linspace(0, width, n_edge, dtype=np.float64)
+    ys = np.linspace(0, height, n_edge, dtype=np.float64)
+    px = np.concatenate([xs, xs, np.full(n_edge, 0.0),
+                         np.full(n_edge, float(width))])
+    py = np.concatenate([np.full(n_edge, 0.0), np.full(n_edge, float(height)),
+                         ys, ys])
+    return np.stack([(px - 0.5 * width) / fx,
+                     -(py - 0.5 * height) / fy,
+                     -np.ones_like(px)], -1)
+
+
+def choose_axis(grid: DenseGrid, transform: np.ndarray,
+                fx: float, fy: float, width: int, height: int
+                ) -> Tuple[Tuple[int, int, int], bool, float]:
+    """Host-side: pick the slab axis for this pose.
+
+    Returns (perm, flip, max_abs_slope). perm maps tree axes -> (slab, row,
+    col); flip=True when rays march toward -slab. max_abs_slope gauges
+    whether the pose is renderable (all boundary rays share the slab-axis
+    sign); inf when not.
+    """
+    R = np.asarray(transform, np.float64).reshape(3, 4)[:, :3]
+    scale = np.asarray(grid.scale, np.float64)
+    d_cam = _cam_corners(width, height, fx, fy)
+    d_tree = (d_cam @ R.T) * scale
+    fwd = scale * (R @ np.array([0.0, 0.0, -1.0]))
+    m = int(np.argmax(np.abs(fwd)))
+    perm = (m, (m + 1) % 3, (m + 2) % 3)
+    dz = d_tree[:, m]
+    flip = fwd[m] < 0
+    if np.any(dz == 0) or (np.min(dz) < 0) != (np.max(dz) < 0):
+        return perm, bool(flip), float("inf")
+    u = d_tree[:, perm[1]] / dz
+    v = d_tree[:, perm[2]] / dz
+    return perm, bool(flip), float(max(np.abs(u).max(), np.abs(v).max()))
+
+
+def compatible(grid: DenseGrid, transform, fx, fy, width, height,
+               max_slope: float = 4.0) -> bool:
+    _, _, s = choose_axis(grid, np.asarray(transform), fx, fy, width, height)
+    return s < max_slope
+
+
+def _slopes_from_dirs(d_tree, perm):
+    dz = d_tree[..., perm[0]]
+    safe = jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+    return d_tree[..., perm[1]] / safe, d_tree[..., perm[2]] / safe
+
+
+@partial(jax.jit, static_argnames=("perm", "flip", "width", "height",
+                                   "gi", "opt"))
+def render_frame(grid: DenseGrid, transform, fx, fy,
+                 perm: Tuple[int, int, int], flip: bool,
+                 width: int, height: int, opt: RenderOptions,
+                 gi: int = 512):
+    """Render one pinhole frame; returns (H, W, 4) float32 RGBA.
+
+    transform: (3,4) C2W [right|up|back|center]; fx/fy scalars (traced ok).
+    perm/flip: from choose_axis (static -> 6 cached compilations max).
+    """
+    G = grid.G
+    D = grid.data_dim
+    bd = grid.basis_dim
+    transform = jnp.asarray(transform, _F32).reshape(3, 4)
+    R = transform[:, :3]
+    fx = jnp.asarray(fx, _F32)
+    fy = jnp.asarray(fy, _F32)
+
+    scale = grid.scale
+    c_t = grid.offset + scale * transform[:, 3]
+    cz, cy, cx = c_t[perm[0]], c_t[perm[1]], c_t[perm[2]]
+
+    # slab-major data view
+    gdata = jnp.transpose(grid.data, perm + (3,))
+
+    # ---- intermediate slope grid (values dynamic, shapes static) ----------
+    corners_cam = jnp.asarray(_cam_corners(width, height,  1.0, 1.0), _F32)
+    # rescale the unit-focal boundary by actual fx/fy
+    corners_cam = corners_cam.at[:, 0].mul(1.0 / fx).at[:, 1].mul(1.0 / fy)
+    d_tree_c = (corners_cam @ R.T) * scale
+    uc, vc = _slopes_from_dirs(d_tree_c, perm)
+    pad = 0.5 / gi
+    u0 = jnp.min(uc) - pad
+    u1 = jnp.max(uc) + pad
+    v0 = jnp.min(vc) - pad
+    v1 = jnp.max(vc) + pad
+    du = (u1 - u0) / (gi - 1)
+    dv = (v1 - v0) / (gi - 1)
+    uy = u0 + du * jnp.arange(gi, dtype=_F32)          # rows    (axis perm[1])
+    ux = v0 + dv * jnp.arange(gi, dtype=_F32)          # columns (axis perm[2])
+
+    sgn = _F32(-1.0 if flip else 1.0)
+    inv = np.argsort(perm)
+
+    bb = np.asarray(opt.render_bbox, np.float32)
+    lo = jnp.asarray(bb[:3])[jnp.asarray(perm)]
+    hi = jnp.asarray(bb[3:])[jnp.asarray(perm)]
+
+    # ---- per-pixel live z-interval (volume entry/exit + t>0) --------------
+    # y(z) = cy + (z-cz)*u in [lo1,hi1) inverts to a z-interval per pixel;
+    # likewise x; intersect with the z bbox slab range and the t>0 half-line.
+    big = _F32(1e9)
+
+    def _axis_interval(cc, slope, a, b):
+        sl = jnp.where(jnp.abs(slope) < 1e-12,
+                       jnp.where(slope < 0, -1e-12, 1e-12), slope)
+        za = cz + (a - cc) / sl
+        zb = cz + (b - cc) / sl
+        zmin = jnp.minimum(za, zb)
+        zmax = jnp.maximum(za, zb)
+        degen = jnp.abs(slope) < 1e-12
+        inside = (cc >= a) & (cc < b)
+        zmin = jnp.where(degen, jnp.where(inside, -big, big), zmin)
+        zmax = jnp.where(degen, jnp.where(inside, big, -big), zmax)
+        return zmin, zmax
+
+    ymin, ymax = _axis_interval(cy, uy, lo[1], hi[1])   # (gi,)
+    xmin, xmax = _axis_interval(cx, ux, lo[2], hi[2])   # (gi,)
+    z_lo_pix = jnp.maximum(ymin[:, None], xmin[None, :])
+    z_hi_pix = jnp.minimum(ymax[:, None], xmax[None, :])
+    z_lo_pix = jnp.maximum(z_lo_pix, lo[0])
+    z_hi_pix = jnp.minimum(z_hi_pix, hi[0])
+    if flip:
+        z_hi_pix = jnp.minimum(z_hi_pix, cz)
+    else:
+        z_lo_pix = jnp.maximum(z_lo_pix, cz)
+
+    # skip leading empty slabs: first march step with any pixel live
+    if flip:
+        z_start = jnp.max(jnp.where(z_lo_pix <= z_hi_pix, z_hi_pix, -big))
+        k0 = (G - 1) - jnp.clip(
+            jnp.floor(z_start * G).astype(jnp.int32), 0, G - 1)
+    else:
+        z_start = jnp.min(jnp.where(z_lo_pix <= z_hi_pix, z_lo_pix, big))
+        k0 = jnp.clip(jnp.floor(z_start * G).astype(jnp.int32), 0, G - 1)
+
+    # ---- march over slabs -------------------------------------------------
+    # Key restructuring for TPU dataflow: shade (SH -> rgb, sigma -> alpha)
+    # *per voxel in slab layout* first, then warp only the 4-channel rgba to
+    # the intermediate grid. Nearest-warp commutes with pointwise shading,
+    # so this is exactly equivalent to warping the 49-channel payload — at
+    # ~1/12 the resample traffic. Basis/dt are evaluated from the slopes of
+    # the ray that passes through each voxel at this slab (u = (y-cy)/s),
+    # which is the same ray the intermediate pixel traces.
+    sigma_thresh = _F32(opt.sigma_thresh)
+    stop_thresh = _F32(opt.stop_thresh)
+    vox = (jnp.arange(G, dtype=_F32) + 0.5) / G         # voxel centers
+    yok_vox = (vox >= lo[1]) & (vox < hi[1])            # bbox masks, static
+    xok_vox = (vox >= lo[2]) & (vox < hi[2])
+    inv_scale = 1.0 / scale
+    sp1, sp2, sp0 = (inv_scale[perm[1]], inv_scale[perm[2]],
+                     inv_scale[perm[0]])
+
+    def shade_slab(zi, s):
+        """(G, G) voxel grid -> premultiplied-compositing inputs
+        (rgb (G,G,3), att (G,G)) for the rays crossing this slab."""
+        slab = gdata[zi]                                # (G, G, D) f16
+        sigma = slab[..., D - 1].astype(_F32)
+        uvox = (vox - cy) / s                           # (G,) slope of ray
+        vvox = (vox - cx) / s                           #      through voxel
+        dt_vox = (1.0 / G) * jnp.sqrt(
+            (uvox[:, None] * sp1) ** 2 + (vvox[None, :] * sp2) ** 2
+            + sp0 ** 2)
+        ok = (yok_vox[:, None] & xok_vox[None, :]
+              & (sigma > sigma_thresh))
+        att = jnp.where(ok, jnp.exp(-dt_vox * sigma), 1.0)
+        if opt.render_depth or bd < 0:
+            rgb = slab[..., :3].astype(_F32)
+            if opt.render_depth:
+                tview = jnp.abs(s) * jnp.sqrt(
+                    1.0 + uvox[:, None] ** 2 + vvox[None, :] ** 2)
+                rgb = jnp.stack([tview, jnp.zeros_like(sigma),
+                                 jnp.zeros_like(sigma)], -1)
+        else:
+            dvox = jnp.stack([
+                jnp.broadcast_to(sgn, (G, G)),
+                sgn * uvox[:, None] * jnp.ones((1, G), _F32),
+                sgn * jnp.ones((G, 1), _F32) * vvox[None, :],
+            ], -1)[..., inv] / scale
+            dvox = dvox / jnp.linalg.norm(dvox, axis=-1, keepdims=True)
+            rot = _rodrigues(opt.rot_dirs)
+            if rot is not None:
+                dvox = dvox @ jnp.asarray(rot).T
+            bv = basis_mod.eval_basis(
+                BasisType(grid.fmt), bd, dvox, grid.extra, xp=jnp)
+            bv = basis_mod.apply_basis_window(
+                bv.astype(_F32), opt.basis_minmax, xp=jnp)
+            coeffs = slab[..., :3 * bd].astype(_F32).reshape(G, G, 3, bd)
+            rgb = jax.nn.sigmoid(
+                jnp.einsum("yxcb,yxb->yxc", coeffs, bv))
+        return rgb, att
+
+    K_CHUNK = 4  # slabs per while iteration: amortizes the loop-cond stall
+
+    def substep(k, acc, T, stopped, done):
+        zi_raw = (G - 1 - k) if flip else k
+        zi = jnp.clip(zi_raw, 0, G - 1)
+        z = (zi.astype(_F32) + 0.5) / G
+        s = z - cz
+
+        rgb_vox, att_vox = shade_slab(zi, s)
+        # 4-channel separable nearest warp to the intermediate grid
+        yv = cy + s * uy                                # (gi,)
+        xv = cx + s * ux
+        iy = jnp.clip(jnp.floor(yv * G).astype(jnp.int32), 0, G - 1)
+        ix = jnp.clip(jnp.floor(xv * G).astype(jnp.int32), 0, G - 1)
+        rgba_vox = jnp.concatenate([rgb_vox, att_vox[..., None]], -1)
+        warped = jnp.take(rgba_vox[iy], ix, axis=1)     # (gi, gi, 4)
+        att = warped[..., 3]
+        rgb = warped[..., :3]
+
+        in_z = (z >= z_lo_pix) & (z <= z_hi_pix)        # (gi, gi)
+        m = (~done) & in_z & (att < 1.0) & (zi_raw == zi)
+        w = jnp.where(m, T * (1.0 - att), 0.0)
+        acc = acc + w[..., None] * rgb
+        T = jnp.where(m, T * att, T)
+        stopped = stopped | (m & (T < stop_thresh))
+        passed = (z < z_lo_pix) if flip else (z > z_hi_pix)
+        done = done | stopped | (passed & (zi_raw == zi))
+        return acc, T, stopped, done
+
+    def body(carry):
+        k, acc, T, stopped, done = carry
+        for dk in range(K_CHUNK):
+            acc, T, stopped, done = substep(k + dk, acc, T, stopped, done)
+        return k + K_CHUNK, acc, T, stopped, done
+
+    def cond(carry):
+        k, _, T, stopped, done = carry
+        return (k < G) & jnp.any(~done)
+
+    never = z_lo_pix > z_hi_pix
+    init = (k0, jnp.zeros((gi, gi, 3), _F32),
+            jnp.ones((gi, gi), _F32), jnp.zeros((gi, gi), bool), never)
+    _, acc, T, stopped, _ = lax.while_loop(cond, body, init)
+
+    # ---- finalize (rt_core.cuh:176-194 semantics) -------------------------
+    renorm = stopped & opt.renormalize
+    if opt.render_depth:
+        dep = jnp.minimum(acc[..., 0] * 0.3, 1.0)
+        dep = jnp.where(renorm, dep / (1.0 - T), dep)
+        inter_rgb = jnp.stack([dep] * 3, -1)
+        inter_alpha = jnp.ones((gi, gi), _F32)
+    else:
+        inter_rgb = jnp.where(renorm[..., None], acc / (1.0 - T[..., None]),
+                              acc)
+        inter_alpha = jnp.where(stopped, 1.0, 1.0 - T)
+    inter = jnp.concatenate([inter_rgb, inter_alpha[..., None]], -1)
+
+    # ---- projective warp to screen (bilinear) -----------------------------
+    px = (jnp.arange(width, dtype=_F32) - 0.5 * width) / fx
+    py = -(jnp.arange(height, dtype=_F32) - 0.5 * height) / fy
+    d_cam = jnp.stack([
+        jnp.broadcast_to(px[None, :], (height, width)),
+        jnp.broadcast_to(py[:, None], (height, width)),
+        -jnp.ones((height, width), _F32)], -1)
+    d_tree_s = jnp.einsum("hwc,kc->hwk", d_cam, R) * scale
+    us, vs = _slopes_from_dirs(d_tree_s, perm)
+    gy = (us - u0) / du
+    gx = (vs - v0) / dv
+    ok = (gy >= 0) & (gy <= gi - 1) & (gx >= 0) & (gx <= gi - 1)
+    gy = jnp.clip(gy, 0.0, gi - 1 - 1e-6)
+    gx = jnp.clip(gx, 0.0, gi - 1 - 1e-6)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    fy_ = (gy - y0)[..., None]
+    fx_ = (gx - x0)[..., None]
+    # single-gather bilinear: TPU gathers are row-count-bound, so fetch all
+    # four corners as one quad row [v00|v01|v10|v11] from a pre-packed table
+    quad = jnp.concatenate([
+        inter[:-1, :-1], inter[:-1, 1:], inter[1:, :-1], inter[1:, 1:],
+    ], -1).reshape((gi - 1) * (gi - 1), 16)
+    y0c = jnp.minimum(y0, gi - 2)
+    x0c = jnp.minimum(x0, gi - 2)
+    q = quad[y0c * (gi - 1) + x0c].reshape(height, width, 4, 4)
+    v00, v01, v10, v11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
+    out = ((v00 * (1 - fx_) + v01 * fx_) * (1 - fy_)
+           + (v10 * (1 - fx_) + v11 * fx_) * fy_)
+    out = jnp.where(ok[..., None], out, 0.0)
+
+    rgb = out[..., :3] + _F32(opt.background_brightness) * (
+        1.0 - out[..., 3:4])
+    return jnp.concatenate([rgb, out[..., 3:4]], -1)
+
+
+def _rodrigues(rot_dirs) -> Optional[np.ndarray]:
+    from volrend_tpu.ops.render_jax import _rodrigues_matrix
+    return _rodrigues_matrix(rot_dirs)
+
+
+def render_image(grid: DenseGrid, cam, opt: RenderOptions,
+                 gi: int = 512) -> np.ndarray:
+    """Camera-object convenience wrapper; returns (H, W, 4) on host."""
+    perm, flip, slope = choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
+    if not np.isfinite(slope):
+        raise ValueError("pose not renderable by the slab path "
+                         "(rays straddle the slab axis); use render_jax")
+    out = render_frame(grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
+                       perm, flip, cam.width, cam.height, opt, gi)
+    return np.asarray(out)
