@@ -105,11 +105,9 @@ def main():
 
     @partial(jax.jit, static_argnames=("perm", "flip"))
     def render_group_sums(grid, transforms, perm, flip):
-        def one(tr):
-            out = slab_render.render_frame(
-                grid, tr, fx, fy, perm, flip, W, H, opt)
-            return jnp.sum(out, dtype=jnp.float32, axis=(0, 1))
-        return lax.map(one, transforms)
+        out = slab_render.render_frames(
+            grid, transforms, fx, fy, perm, flip, W, H, opt)
+        return jnp.sum(out, dtype=jnp.float32, axis=(1, 2))
 
     batches = [(jnp.asarray(np.stack(trs), jnp.float32), perm, flip)
                for (perm, flip), trs in groups.items()]

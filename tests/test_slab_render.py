@@ -90,3 +90,30 @@ def test_render_bbox(scene):
     ref = np.asarray(render_jax.render_image(dev, cam, opt))
     out = slab_render.render_image(grid, cam, opt, gi=128)
     assert psnr(out[..., :3], ref[..., :3]) > 28.0
+
+
+def test_banded_final_warp_matches_exact(scene):
+    """The banded gather path (H % 50 == 0, gi-1 >= 160) must render
+    correctly (vs exact renderer) — exercises dynamic band slicing."""
+    dev, grid = scene
+    cam = make_cam((1, 0.2, 0.3), width=100, height=100)
+    opt = RenderOptions(max_steps=512)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    out = slab_render.render_image(grid, cam, opt, gi=192)
+    assert psnr(out[..., :3], ref[..., :3]) > 30.0
+
+
+def test_render_frames_batch_matches_single(scene):
+    """render_frames (hoisted transpose) == render_frame per pose."""
+    import jax.numpy as jnp
+    dev, grid = scene
+    cams = [make_cam((1, 0.2 + 0.1 * i, 0.3)) for i in range(3)]
+    opt = RenderOptions(max_steps=512)
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cams[0].transform, cams[0].fx, cams[0].fy, 48, 48)
+    trs = jnp.asarray(np.stack([c.transform for c in cams]))
+    batch = np.asarray(slab_render.render_frames(
+        grid, trs, cams[0].fx, cams[0].fy, perm, flip, 48, 48, opt, gi=128))
+    for i, c in enumerate(cams):
+        single = slab_render.render_image(grid, c, opt, gi=128)
+        np.testing.assert_allclose(batch[i], single, atol=1e-5)

@@ -428,10 +428,12 @@ class N3Tree:
         ndc = None
         if self.use_ndc and self.ndc is not None:
             ndc = (self.ndc.width, self.ndc.height, self.ndc.focal)
+        host_data = (self.data.reshape(-1, self.data_dim)
+                     if self.data is not None
+                     else np.zeros((0, self.data_dim), np.float16))
         return TreeArrays(
             child=jnp.asarray(self.child.reshape(-1), jnp.int32),
-            data=jnp.asarray(
-                self.data.reshape(-1, self.data_dim), jnp.float16),
+            data=jnp.asarray(host_data, jnp.float16),
             offset=jnp.asarray(self.offset, jnp.float32),
             scale=jnp.asarray(self.scale, jnp.float32),
             extra=jnp.asarray(extra, jnp.float32),

@@ -227,6 +227,13 @@ def _precalc_basis(tree: TreeArrays, vdir, opt: RenderOptions):
 # The march
 # ---------------------------------------------------------------------------
 
+def _fetch_rows(data, leaf_idx):
+    """Leaf payload gather; dense array or QuantLeaves (on-device dequant)."""
+    if hasattr(data, "fetch_rows"):
+        return data.fetch_rows(leaf_idx)
+    return data[leaf_idx]
+
+
 def _sample_step(data, child, lut, meta: TreeMeta, opt: RenderOptions,
                  cen, d, invdir, basis_vals, t):
     """One march step's sample quantities for all rays (shared by forward,
@@ -234,7 +241,7 @@ def _sample_step(data, child, lut, meta: TreeMeta, opt: RenderOptions,
     Rn = cen.shape[0]
     pos = cen + t[:, None] * d
     leaf_idx, cube_sz, rel = _query(child, lut, pos, meta)
-    vals = data[leaf_idx].astype(_F32)               # (R, D) gather
+    vals = _fetch_rows(data, leaf_idx).astype(_F32)  # (R, D) gather
     sigma = vals[:, -1]
     t_sub = _dda_unit(rel, invdir) / cube_sz
     delta_t = t_sub + _F32(opt.step_size)

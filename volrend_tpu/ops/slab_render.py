@@ -115,6 +115,33 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
     transform: (3,4) C2W [right|up|back|center]; fx/fy scalars (traced ok).
     perm/flip: from choose_axis (static -> 6 cached compilations max).
     """
+    gdata = jnp.transpose(grid.data, perm + (3,))
+    return _render_frame_impl(grid, gdata, transform, fx, fy, perm, flip,
+                              width, height, opt, gi)
+
+
+@partial(jax.jit, static_argnames=("perm", "flip", "width", "height",
+                                   "gi", "opt"))
+def render_frames(grid: DenseGrid, transforms, fx, fy,
+                  perm: Tuple[int, int, int], flip: bool,
+                  width: int, height: int, opt: RenderOptions,
+                  gi: int = 512):
+    """Render a batch of poses sharing one (perm, flip) group; the permuted
+    grid copy is materialized once for the whole batch. Returns
+    (N, H, W, 4)."""
+    gdata = jnp.transpose(grid.data, perm + (3,))
+
+    def one(tr):
+        return _render_frame_impl(grid, gdata, tr, fx, fy, perm, flip,
+                                  width, height, opt, gi)
+
+    return lax.map(one, jnp.asarray(transforms, _F32))
+
+
+def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
+                       perm: Tuple[int, int, int], flip: bool,
+                       width: int, height: int, opt: RenderOptions,
+                       gi: int):
     G = grid.G
     D = grid.data_dim
     bd = grid.basis_dim
@@ -126,9 +153,6 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
     scale = grid.scale
     c_t = grid.offset + scale * transform[:, 3]
     cz, cy, cx = c_t[perm[0]], c_t[perm[1]], c_t[perm[2]]
-
-    # slab-major data view
-    gdata = jnp.transpose(grid.data, perm + (3,))
 
     # ---- intermediate slope grid (values dynamic, shapes static) ----------
     corners_cam = jnp.asarray(_cam_corners(width, height,  1.0, 1.0), _F32)
@@ -326,10 +350,30 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
     # four corners as one quad row [v00|v01|v10|v11] from a pre-packed table
     quad = jnp.concatenate([
         inter[:-1, :-1], inter[:-1, 1:], inter[1:, :-1], inter[1:, 1:],
-    ], -1).reshape((gi - 1) * (gi - 1), 16)
+    ], -1)                                              # (gi-1, gi-1, 16)
     y0c = jnp.minimum(y0, gi - 2)
     x0c = jnp.minimum(x0, gi - 2)
-    q = quad[y0c * (gi - 1) + x0c].reshape(height, width, 4, 4)
+
+    SB, BAND = 50, 160  # screen rows per block / intermediate band rows
+    if height % SB == 0 and gi - 1 >= BAND:
+        # banded gather: a screen row-block reads only a thin band of the
+        # intermediate image; slicing that band keeps the gather table in
+        # the fast (VMEM-resident) size class (~5x faster than whole-table)
+        y0b = y0c.reshape(height // SB, SB, width)
+        x0b = x0c.reshape(height // SB, SB, width)
+
+        def wblock(args):
+            y0_b, x0_b = args
+            b0 = jnp.clip(jnp.min(y0_b), 0, (gi - 1) - BAND)
+            sub = lax.dynamic_slice(quad, (b0, 0, 0),
+                                    (BAND, gi - 1, 16))
+            li = (jnp.clip(y0_b - b0, 0, BAND - 1) * (gi - 1) + x0_b)
+            return sub.reshape(BAND * (gi - 1), 16)[li]
+
+        q = lax.map(wblock, (y0b, x0b)).reshape(height, width, 4, 4)
+    else:
+        q = quad.reshape((gi - 1) * (gi - 1), 16)[
+            y0c * (gi - 1) + x0c].reshape(height, width, 4, 4)
     v00, v01, v10, v11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
     out = ((v00 * (1 - fx_) + v01 * fx_) * (1 - fy_)
            + (v10 * (1 - fx_) + v11 * fx_) * fy_)
