@@ -31,7 +31,7 @@ BASELINE_MRAYS = 110.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_tree_cache.npz")
 W = H = 800
-N_POSES = 6
+N_POSES = 24
 DEPTH = 7          # 256^3 effective resolution
 BASIS_DIM = 16     # SH deg 4 path (BASELINE.json configs[1])
 

@@ -117,3 +117,18 @@ def test_render_frames_batch_matches_single(scene):
     for i, c in enumerate(cams):
         single = slab_render.render_image(grid, c, opt, gi=128)
         np.testing.assert_allclose(batch[i], single, atol=1e-5)
+
+
+def test_pallas_path_matches_exact(scene):
+    """TPU-only: the fused Pallas march must match the exact renderer."""
+    import jax
+    from volrend_tpu.ops import pallas_slab
+    if not pallas_slab.available():
+        pytest.skip("no TPU backend")
+    dev, grid = scene
+    cam = make_cam((1, 0.2, 0.3), width=64, height=64)
+    opt = RenderOptions(max_steps=512)
+    assert slab_render._pallas_ok(grid, opt)
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    assert psnr(out[..., :3], ref[..., :3]) > 35.0

@@ -115,9 +115,10 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
     transform: (3,4) C2W [right|up|back|center]; fx/fy scalars (traced ok).
     perm/flip: from choose_axis (static -> 6 cached compilations max).
     """
-    gdata = jnp.transpose(grid.data, perm + (3,))
+    use_pallas = _pallas_ok(grid, opt)
+    gdata = _permuted_grid(grid, perm, use_pallas)
     return _render_frame_impl(grid, gdata, transform, fx, fy, perm, flip,
-                              width, height, opt, gi)
+                              width, height, opt, gi, use_pallas)
 
 
 @partial(jax.jit, static_argnames=("perm", "flip", "width", "height",
@@ -129,19 +130,42 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
     """Render a batch of poses sharing one (perm, flip) group; the permuted
     grid copy is materialized once for the whole batch. Returns
     (N, H, W, 4)."""
-    gdata = jnp.transpose(grid.data, perm + (3,))
+    use_pallas = _pallas_ok(grid, opt)
+    gdata = _permuted_grid(grid, perm, use_pallas)
 
     def one(tr):
         return _render_frame_impl(grid, gdata, tr, fx, fy, perm, flip,
-                                  width, height, opt, gi)
+                                  width, height, opt, gi, use_pallas)
 
     return lax.map(one, jnp.asarray(transforms, _F32))
+
+
+def _pallas_ok(grid: DenseGrid, opt: RenderOptions) -> bool:
+    """Static check: can the fused Pallas march replace the XLA loop?"""
+    from volrend_tpu.ops import pallas_slab
+    return (pallas_slab.available()
+            and BasisType(grid.fmt) == BasisType.SH
+            and grid.basis_dim in (1, 4, 9, 16, 25)
+            and grid.data_dim == 3 * grid.basis_dim + 1
+            and not opt.render_depth
+            and _rodrigues(opt.rot_dirs) is None)
+
+
+def _permuted_grid(grid: DenseGrid, perm, use_pallas: bool):
+    """Slab-major view: (z,y,x,D) for the XLA march, channel-planar
+    (z,D,y,x) for the Pallas kernel."""
+    if use_pallas:
+        # Mosaic has no f16 support; bf16 costs ~0.4% relative on sigma and
+        # ~1e-2 absolute on SH coeffs (PSNR ~40 dB vs the f16 XLA path)
+        return jnp.transpose(grid.data, (perm[0], 3, perm[1], perm[2])
+                             ).astype(jnp.bfloat16)
+    return jnp.transpose(grid.data, perm + (3,))
 
 
 def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
                        perm: Tuple[int, int, int], flip: bool,
                        width: int, height: int, opt: RenderOptions,
-                       gi: int):
+                       gi: int, use_pallas: bool = False):
     G = grid.G
     D = grid.data_dim
     bd = grid.basis_dim
@@ -216,6 +240,28 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         k0 = jnp.clip(jnp.floor(z_start * G).astype(jnp.int32), 0, G - 1)
 
     # ---- march over slabs -------------------------------------------------
+    if use_pallas:
+        from volrend_tpu.ops import pallas_slab
+        inv_scale_t = 1.0 / scale
+        spp_t = (inv_scale_t[perm[0]], inv_scale_t[perm[1]],
+                 inv_scale_t[perm[2]])
+        params = pallas_slab._pack_params(
+            cz, cy, cx, u0, du, v0, dv, jnp.asarray(-1.0 if flip else 1.0),
+            spp_t, (inv_scale_t[0], inv_scale_t[1], inv_scale_t[2]),
+            jnp.asarray(opt.sigma_thresh), jnp.asarray(opt.stop_thresh),
+            lo[1], hi[1], lo[2], hi[2])
+        zb = jnp.stack([z_lo_pix, z_hi_pix])
+        blo, bhi = opt.basis_minmax
+        acc4 = pallas_slab.march_slabs(
+            gdata, params, zb, G, gi, D, grid.basis_dim, flip, perm,
+            basis_lo=int(blo), basis_hi=int(bhi))
+        acc = jnp.moveaxis(acc4[:3], 0, -1)             # (gi, gi, 3)
+        T = acc4[3]
+        stopped = T < _F32(opt.stop_thresh)
+        return _finalize_and_warp(
+            grid, acc, T, stopped, opt, R, fx, fy, width, height, gi,
+            perm, u0, du, v0, dv, scale)
+
     # Key restructuring for TPU dataflow: shade (SH -> rgb, sigma -> alpha)
     # *per voxel in slab layout* first, then warp only the 4-channel rgba to
     # the intermediate grid. Nearest-warp commutes with pointwise shading,
@@ -314,7 +360,13 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
     init = (k0, jnp.zeros((gi, gi, 3), _F32),
             jnp.ones((gi, gi), _F32), jnp.zeros((gi, gi), bool), never)
     _, acc, T, stopped, _ = lax.while_loop(cond, body, init)
+    return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
+                              width, height, gi, perm, u0, du, v0, dv, scale)
 
+
+def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
+                       width: int, height: int, gi: int, perm,
+                       u0, du, v0, dv, scale):
     # ---- finalize (rt_core.cuh:176-194 semantics) -------------------------
     renorm = stopped & opt.renormalize
     if opt.render_depth:
