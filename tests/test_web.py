@@ -1,0 +1,88 @@
+"""Web viewer server: endpoints, input events, rendering."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from volrend_tpu.models.mesh import Mesh
+from volrend_tpu.models.synthetic import make_test_tree
+from volrend_tpu.utils.png import read_png
+from volrend_tpu.web.server import ViewerState, make_handler
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5, sigma_scale=60.0)
+    cube = Mesh.Cube((1, 0, 0))
+    cube.visible = False
+    state = ViewerState(tree, [cube], use_slab=False)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}", state
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.read()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=json.dumps(body).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.read()
+
+
+def test_index_and_info(server):
+    base, state = server
+    html = _get(base + "/").decode()
+    assert "<canvas" in html
+    info = json.loads(_get(base + "/info"))
+    assert info["format"] == "SH4"
+    assert info["meshes"][0]["name"] == "Cube"
+    assert "step_size" in info["options"]
+
+
+def test_frame_render(server, tmp_path):
+    base, state = server
+    png = _get(base + "/frame?w=64&h=64")
+    p = tmp_path / "f.png"
+    p.write_bytes(png)
+    img = read_png(str(p))
+    assert img.shape == (64, 64, 4)
+    assert (img[..., :3].min(-1) < 250).mean() > 0.005  # scene visible
+
+
+def test_drag_orbit_changes_view(server, tmp_path):
+    base, state = server
+    before = _get(base + "/frame?w=48&h=48")
+    _post(base + "/event", {"type": "down", "x": 10, "y": 10, "pan": False,
+                            "about_origin": True})
+    _post(base + "/event", {"type": "move", "x": 35, "y": 14})
+    _post(base + "/event", {"type": "up"})
+    after = _get(base + "/frame?w=48&h=48")
+    assert before != after
+
+
+def test_options_and_mesh_toggle(server):
+    base, state = server
+    _post(base + "/options", {"background_brightness": 0.25})
+    assert state.opt.background_brightness == 0.25
+    _post(base + "/mesh", {"name": "Cube", "visible": True})
+    assert state.meshes[0].visible
+    _post(base + "/mesh", {"name": "Cube", "visible": False})
+    assert not state.meshes[0].visible
+
+
+def test_wheel_dolly(server):
+    base, state = server
+    c0 = np.linalg.norm(state.cam.center - state.cam.origin)
+    _post(base + "/event", {"type": "wheel", "dy": -100})
+    c1 = np.linalg.norm(state.cam.center - state.cam.origin)
+    assert c1 < c0

@@ -89,6 +89,104 @@ class Camera:
         return origins, dirs
 
 
+@dataclasses.dataclass
+class DragCamera(Camera):
+    """Camera with the GUI drag state machine (src/camera.cpp:78-138):
+    orbit about origin with pole-flip prevention, pan, move."""
+    origin: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.float32))
+    v_world_up: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 0.0, 1.0], np.float32))
+    _drag: Optional[dict] = None
+
+    @property
+    def v_right(self) -> np.ndarray:
+        return self.transform[:, 0]
+
+    @property
+    def v_up(self) -> np.ndarray:
+        return self.transform[:, 1]
+
+    def update_basis(self, v_back=None, center=None) -> None:
+        """Orthonormalize basis from back + world_up (Camera::_update)."""
+        if v_back is None:
+            v_back = self.v_back
+        if center is None:
+            center = self.center
+        back = np.asarray(v_back, np.float64)
+        back /= np.linalg.norm(back)
+        right = np.cross(self.v_world_up.astype(np.float64), back)
+        n = np.linalg.norm(right)
+        if n < 1e-9:
+            right = np.array([1.0, 0.0, 0.0])
+            n = 1.0
+        right /= n
+        up = np.cross(back, right)
+        self.transform = np.stack(
+            [right, up, back, np.asarray(center, np.float64)],
+            axis=1).astype(np.float32)
+
+    def begin_drag(self, x: float, y: float, is_pan: bool,
+                   about_origin: bool) -> None:
+        self._drag = dict(
+            start=np.array([x, y], np.float64),
+            back=self.v_back.copy(), right=self.v_right.copy(),
+            up=self.v_up.copy(), center=self.center.copy(),
+            origin=self.origin.copy(), is_pan=is_pan,
+            about_origin=about_origin)
+
+    def drag_update(self, x: float, y: float) -> None:
+        d = self._drag
+        if d is None:
+            return
+        delta = (np.array([x, y], np.float64) - d["start"]) * (
+            -2.0 * self.movement_speed / max(self.width, self.height))
+        if d["is_pan"]:
+            shift = delta[0] * d["right"] - delta[1] * d["up"]
+            self.update_basis(center=d["center"] + shift)
+            if d["about_origin"]:
+                self.origin = (d["origin"] + shift).astype(np.float32)
+            return
+        if d["about_origin"]:
+            delta = -delta
+
+        def rot(axis, angle):
+            return _axis_angle(axis, angle)
+
+        m_tmp = rot(d["right"], -delta[1])
+        v_back_tmp = m_tmp @ d["back"]
+        # prevent flip over the pole (camera.cpp:111-115)
+        if np.dot(np.cross(self.v_world_up, v_back_tmp), d["right"]) < 0:
+            return
+        m = rot(self.v_world_up, -np.fmod(delta[0], 2 * np.pi)) @ m_tmp
+        new_back = m @ d["back"]
+        if d["about_origin"]:
+            center = m @ (d["center"] - d["origin"]) + d["origin"]
+        else:
+            center = self.center
+        self.update_basis(v_back=new_back, center=center)
+
+    def end_drag(self) -> None:
+        self._drag = None
+
+    def move(self, xyz) -> None:
+        shift = np.asarray(xyz, np.float64) * self.movement_speed
+        self.update_basis(center=self.center + shift)
+        if self._drag is not None:
+            self._drag["center"] = self._drag["center"] + shift
+
+
+def _axis_angle(axis, angle: float) -> np.ndarray:
+    axis = np.asarray(axis, np.float64)
+    n = np.linalg.norm(axis)
+    if n < 1e-12 or abs(angle) < 1e-12:
+        return np.eye(3)
+    k = axis / n
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return (np.eye(3) * np.cos(angle) + np.sin(angle) * K
+            + (1 - np.cos(angle)) * np.outer(k, k))
+
+
 def opencv_to_nerf(transform: np.ndarray) -> np.ndarray:
     """Flip OpenCV camera axes to NeRF convention: negate y & z columns."""
     out = np.array(transform, np.float32).reshape(3, 4).copy()

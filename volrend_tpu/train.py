@@ -1,0 +1,122 @@
+"""Training: optimize per-leaf SH/sigma from pixel supervision.
+
+The reference is forward-only; this is the differentiable extension the
+TPU build mandates (BASELINE.json): pixel L2 loss -> hand-written fused VJP
+(``ops/grad.py``) -> per-leaf gradients -> optax update on a float32 master
+copy of the leaf payloads. Multi-device: rays shard over the mesh, leaf
+grads all-reduce with one psum (``parallel/dist.py``).
+
+Checkpoints are plain npz of (step, data, opt_state leaves) — the octree
+itself re-exports through ``N3Tree.save_npz`` as a reference-compatible
+scene file (§5.4: the npz IS the checkpoint format).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from volrend_tpu.models.n3tree import N3Tree, TreeArrays
+from volrend_tpu.ops import grad as grad_mod
+from volrend_tpu.utils.options import RenderOptions
+
+__all__ = ["Trainer", "psnr"]
+
+
+def psnr(a, b) -> float:
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return float("inf") if mse == 0 else -10.0 * np.log10(mse)
+
+
+@partial(jax.jit, static_argnames=("opt", "optimizer"))
+def _train_step(tree: TreeArrays, data, opt_state, origins, dirs, target,
+                opt: RenderOptions, optimizer):
+    def loss_fn(dat):
+        out = grad_mod.render_rays_train(tree, origins, dirs, opt, data=dat)
+        diff = out[:, :3] - target[:, :3]
+        return jnp.mean(diff * diff)
+
+    loss, g = jax.value_and_grad(loss_fn)(data)
+    updates, opt_state = optimizer.update(g, opt_state, data)
+    data = optax.apply_updates(data, updates)
+    return data, opt_state, loss
+
+
+class Trainer:
+    """Optimizes a tree's leaf payloads against (rays, rgb) batches."""
+
+    def __init__(self, tree: TreeArrays, opt: Optional[RenderOptions] = None,
+                 optimizer=None, lr: float = 1e-2):
+        self.tree = tree
+        self.opt = (opt or RenderOptions()).replace(renormalize=False)
+        self.optimizer = optimizer or optax.adam(lr)
+        self.data = jnp.asarray(tree.data, jnp.float32)
+        self.opt_state = self.optimizer.init(self.data)
+        self.step_count = 0
+
+    def step(self, origins, dirs, target) -> float:
+        """One SGD step on a ray batch; returns the loss."""
+        self.data, self.opt_state, loss = _train_step(
+            self.tree, self.data, self.opt_state,
+            jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(target),
+            self.opt, self.optimizer)
+        self.step_count += 1
+        return float(loss)
+
+    def step_sharded(self, mesh, origins, dirs, target) -> float:
+        """Multi-device step: rays sharded, grads psum-reduced over ICI."""
+        from volrend_tpu.parallel import dist
+        o, d, _ = dist.shard_rays(np.asarray(origins), np.asarray(dirs), mesh)
+        t, _, _ = dist.shard_rays(np.asarray(target),
+                                  np.zeros_like(np.asarray(origins)), mesh)
+        loss, g = dist.loss_and_grad_sharded(
+            self.tree, self.data, o, d, t, self.opt, mesh)
+        updates, self.opt_state = self.optimizer.update(
+            g, self.opt_state, self.data)
+        self.data = optax.apply_updates(self.data, updates)
+        self.step_count += 1
+        return float(loss)
+
+    # -- state export -------------------------------------------------------
+
+    def current_tree(self) -> TreeArrays:
+        """TreeArrays with the optimized payloads (f16, render-ready)."""
+        return dataclasses.replace(
+            self.tree, data=self.data.astype(jnp.float16))
+
+    def export_npz(self, host_tree: N3Tree, path: str) -> None:
+        """Write the optimized scene as a reference-compatible npz."""
+        ht = host_tree
+        shape = (ht.capacity, ht.N, ht.N, ht.N, ht.data_dim)
+        ht.data = np.asarray(self.data, np.float16).reshape(shape)
+        ht.save_npz(path)
+
+    # -- checkpoint / resume (§5.4) -----------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        np.savez(
+            path,
+            step=np.int64(self.step_count),
+            data=np.asarray(self.data, np.float32),
+            n_opt_leaves=np.int64(len(leaves)),
+            **{f"opt_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+        )
+
+    def restore_checkpoint(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as z:
+            self.step_count = int(z["step"])
+            self.data = jnp.asarray(z["data"])
+            n = int(z["n_opt_leaves"])
+            leaves = [jnp.asarray(z[f"opt_{i}"]) for i in range(n)]
+        treedef = jax.tree_util.tree_structure(
+            self.optimizer.init(self.data))
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
