@@ -75,3 +75,44 @@ def test_sharded_grads_match_single(setup):
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_context_parallel_segments_match(setup):
+    """CP mode (t-range split across devices, associative combine) must
+    match a single-device render with the same train semantics."""
+    dev, origins, dirs, opt = setup
+    opt_t = opt.replace(stop_thresh=0.0, renormalize=False)
+    single = np.asarray(render_jax.render_rays(
+        dev, jnp.asarray(origins), jnp.asarray(dirs), opt_t))
+
+    mesh = dist.make_mesh(jax.devices()[:4], axis_name="cp")
+    tree = dist.replicate_tree(dev, mesh)
+    out = np.asarray(dist.render_rays_cp(
+        tree, jnp.asarray(origins), jnp.asarray(dirs), opt, mesh,
+        axis_name="cp"))
+    # segment boundaries split leaf chords; telescoping keeps compositing
+    # equal up to the per-segment step epsilon
+    np.testing.assert_allclose(out, single, atol=5e-3)
+    assert np.mean(np.abs(out - single)) < 2e-4
+
+
+def test_multi_scene_sharded(setup):
+    from volrend_tpu.models.synthetic import make_test_tree
+    trees = [make_test_tree(max_depth=3, basis_dim=4, seed=s,
+                            sigma_scale=50.0).to_device(lut_depth=None)
+             for s in (2, 7)]
+    opt = RenderOptions(max_steps=128)
+    cam = Camera.from_vectors(width=16, height=16, fx=20.0)
+    o, d = cam.pixel_rays(xp=np)
+
+    stacked = dist.stack_trees(trees)
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("scene", "rays"))
+    oo = jnp.asarray(np.stack([o, o]))
+    dd = jnp.asarray(np.stack([d, d]))
+    out = np.asarray(dist.render_scenes_sharded(stacked, oo, dd, opt, mesh))
+    for s in range(2):
+        ref = np.asarray(render_jax.render_rays(
+            trees[s], jnp.asarray(o), jnp.asarray(d), opt))
+        np.testing.assert_allclose(out[s], ref, atol=2e-5, rtol=1e-5)

@@ -1,0 +1,98 @@
+"""Dataset tools, Morton codes, SH-lobe meshes."""
+
+import json
+import os
+
+import numpy as np
+
+from volrend_tpu.utils.morton import (inv_morton_code_3, morton_code_3,
+                                      ray_morton_order)
+
+
+def test_morton_roundtrip():
+    rng = np.random.default_rng(0)
+    x, y, z = (rng.integers(0, 1 << 21, 1000) for _ in range(3))
+    code = morton_code_3(x, y, z)
+    rx, ry, rz = inv_morton_code_3(code)
+    np.testing.assert_array_equal(rx, x)
+    np.testing.assert_array_equal(ry, y)
+    np.testing.assert_array_equal(rz, z)
+    # locality: adjacent cells differ in low bits
+    assert morton_code_3(0, 0, 1) == 1
+    assert morton_code_3(0, 1, 0) == 2
+    assert morton_code_3(1, 0, 0) == 4
+
+
+def test_ray_morton_order_groups_neighbors():
+    pts = np.array([[0.9, 0.9, 0.9], [0.1, 0.1, 0.1],
+                    [0.11, 0.1, 0.11], [0.89, 0.9, 0.91]])
+    order = ray_morton_order(pts)
+    pairs = {tuple(sorted(order[:2])), tuple(sorted(order[2:]))}
+    assert pairs == {(1, 2), (0, 3)}
+
+
+def _write_synthetic_dataset(root, n_frames=3):
+    scene = os.path.join(root, "lego")
+    os.makedirs(scene, exist_ok=True)
+    rng = np.random.default_rng(1)
+    for split in ("test", "train"):
+        frames = []
+        for i in range(n_frames):
+            th = 2 * np.pi * i / n_frames
+            c2w = np.eye(4)
+            c2w[:3, 3] = [3 * np.cos(th), 3 * np.sin(th), 1.0]
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(scene,
+                               f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": 0.6911, "frames": frames}, f)
+    return scene
+
+
+def test_extract_test_poses(tmp_path):
+    from volrend_tpu.cli.extract_poses import extract_test_poses
+    scene = _write_synthetic_dataset(str(tmp_path))
+    n = extract_test_poses(str(tmp_path))
+    assert n == 1
+    pose = np.loadtxt(os.path.join(scene, "pose", "r_0.txt"))
+    assert pose.shape == (4, 4)
+    K = np.loadtxt(os.path.join(scene, "intrinsics.txt"))
+    assert abs(K[0, 0] - 400 / np.tan(0.5 * 0.6911)) < 1e-6
+
+
+def test_extract_cams_drawlist(tmp_path):
+    from volrend_tpu.cli.extract_poses import extract_cams_drawlist
+    from volrend_tpu.models.mesh import open_drawlist
+    scene = _write_synthetic_dataset(str(tmp_path))
+    n = extract_cams_drawlist(str(tmp_path))
+    assert n == 1
+    meshes = open_drawlist(os.path.join(scene, "lego_cams.draw.npz"))
+    assert len(meshes) == 1
+    assert meshes[0].n_verts == 3 * 5  # 3 frusta
+
+
+def test_rotvec_roundtrip():
+    from volrend_tpu.cli.extract_poses import _rotmat_to_rotvec
+    from volrend_tpu.models.mesh import _axis_angle_matrix
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = rng.uniform(0.01, np.pi - 0.01)
+        R = _axis_angle_matrix(axis * ang)[None]
+        rv = _rotmat_to_rotvec(R)[0]
+        np.testing.assert_allclose(rv, axis * ang, atol=1e-5)
+
+
+def test_sh_lobe_mesh(tmp_path):
+    from volrend_tpu.models.mesh import load_basic_obj
+    from volrend_tpu.utils.sh_mesh import save_obj, sh_lobe_mesh
+    m = sh_lobe_mesh(6, rings=8, sectors=12)
+    assert m.n_verts == 96
+    r = np.linalg.norm(m.vert[:, :3], axis=-1)
+    assert r.max() > 0.1  # lobe has extent
+    p = str(tmp_path / "sh6.obj")
+    save_obj(m, p)
+    back = load_basic_obj(p)
+    np.testing.assert_allclose(back.vert[:, :3], m.vert[:, :3], atol=1e-5)
+    np.testing.assert_allclose(back.vert[:, 3:6], m.vert[:, 3:6], atol=1e-3)

@@ -259,7 +259,7 @@ def _sample_step(data, child, lut, meta: TreeMeta, opt: RenderOptions,
 def _march(data, child, lut, meta: TreeMeta, opt: RenderOptions,
            cen, d, invdir, delta_scale, basis_vals, tmin, tmax,
            differentiable: bool, n_steps: Optional[int] = None,
-           train: Optional[bool] = None):
+           train: Optional[bool] = None, dt_clamp=None):
     """Core march loop over a ray batch.
 
     differentiable=False: masked lax.while_loop until every ray terminates
@@ -287,7 +287,13 @@ def _march(data, child, lut, meta: TreeMeta, opt: RenderOptions,
         leaf_idx, sigma, delta_t, rgb, _ = _sample_step(
             data, child, lut, meta, opt, cen, d, invdir, basis_vals, s["t"])
         valid = s["active"] & (sigma > opt.sigma_thresh)
-        att = jnp.exp(-delta_t * delta_scale * sigma)
+        dt_eff = delta_t
+        if dt_clamp is not None:
+            # context-parallel mode: a segment must not integrate past its
+            # boundary (the next device owns [hi, ...)); the ray still
+            # ADVANCES by the full voxel skip so termination matches
+            dt_eff = jnp.clip(dt_clamp - s["t"], 0.0, delta_t)
+        att = jnp.exp(-dt_eff * delta_scale * sigma)
         weight = s["light"] * (1.0 - att)
         if opt.render_depth:
             contrib = jnp.stack(

@@ -38,6 +38,7 @@ from volrend_tpu.utils.options import RenderOptions
 __all__ = [
     "make_mesh", "replicate_tree", "shard_rays", "render_rays_sharded",
     "render_image_sharded", "loss_and_grad_sharded", "pad_to_multiple",
+    "render_rays_cp",
 ]
 
 
@@ -115,8 +116,118 @@ def render_image_sharded(tree: TreeArrays, cam, opt: RenderOptions,
     return np.asarray(out)[:n].reshape(cam.height, cam.width, 4)
 
 
-@partial(jax.jit, static_argnames=("opt", "mesh", "axis_name"),
-         donate_argnums=())
+@partial(jax.jit, static_argnames=("opt", "mesh", "axis_name"))
+def render_rays_cp(tree: TreeArrays, origins, dirs, opt: RenderOptions,
+                   mesh: Mesh, axis_name: str = "rays"):
+    """Context-parallel compositing (SURVEY.md §5.7): the march's t-range is
+    split into one segment per device — the renderer's analog of
+    ring/blockwise attention. Rays are REPLICATED; each device integrates
+    its own t-segment, and segments combine with the associative
+    front-to-back rule (C, T) o (C', T') = (C + T C', T T').
+
+    Per-segment early termination is disabled (a segment cannot know its
+    incoming transmittance), so this uses training semantics
+    (stop_thresh=0, no renorm). Returns (R, 4) RGBA, replicated.
+
+    Use when per-ray state is huge or the march is extremely long; the
+    default DP-over-rays mode is faster for ordinary scenes.
+    """
+    from volrend_tpu.ops.render_jax import (_dda_world, _march,
+                                            _precalc_basis, prepare_rays,
+                                            tree_meta)
+    seg_opt = opt.replace(stop_thresh=0.0, renormalize=False)
+    tree_spec = jax.tree_util.tree_map(lambda _: P(), tree)
+    n_dev = mesh.shape[axis_name]
+    meta = tree_meta(tree)
+
+    def local(tree_l, o, d):
+        cen, dd, vdir, invdir, delta_scale = prepare_rays(
+            tree_l, o, d, seg_opt)
+        basis_vals = _precalc_basis(tree_l, vdir, seg_opt)
+        tmin, tmax = _dda_world(cen, invdir, seg_opt.render_bbox)
+        i = jax.lax.axis_index(axis_name).astype(jnp.float32)
+        span = (tmax - tmin) / n_dev
+        lo = tmin + i * span
+        hi = jnp.where(i == n_dev - 1, tmax, tmin + (i + 1) * span)
+        # interior boundaries clamp dt so optical depth isn't double
+        # counted; the last segment overshoots like the reference tail
+        dt_clamp = jnp.where(i == n_dev - 1, jnp.inf, hi)
+        rgb, alpha = _march(tree_l.data, tree_l.child, tree_l.lut, meta,
+                            seg_opt, cen, dd, invdir, delta_scale,
+                            basis_vals, lo, hi, differentiable=False,
+                            train=True, dt_clamp=dt_clamp)
+        seg = jnp.concatenate([rgb, (1.0 - alpha)[:, None]], -1)
+        # gather all segments (ordered by device) and fold front-to-back
+        segs = jax.lax.all_gather(seg, axis_name)       # (n_dev, R, 4)
+
+        def combine(carry, s):
+            c, t = carry
+            return (c + t[:, None] * s[:, :3], t * s[:, 3]), None
+
+        (c, t), _ = jax.lax.scan(
+            combine, (jnp.zeros_like(seg[:, :3]), jnp.ones(seg.shape[0])),
+            segs)
+        rgb_out = c + _F32(seg_opt.background_brightness) * t[:, None]
+        return jnp.concatenate([rgb_out, (1.0 - t)[:, None]], -1)
+
+    fn = _shmap(local, mesh, in_specs=(tree_spec, P(), P()),
+                out_specs=P())
+    return fn(tree, origins, dirs)
+
+
+_F32 = jnp.float32
+
+
+def stack_trees(trees) -> TreeArrays:
+    """Stack multiple scenes into one leading-axis pytree for multi-scene
+    sharding (the EP analog: scenes as experts on device subsets;
+    BASELINE.json configs[4]). Trees must share meta (N, data_dim, format,
+    depths); capacities are padded to the largest."""
+    import dataclasses
+    metas = {(t.N, t.data_dim, t.basis_dim, int(t.fmt), t.max_depth,
+              t.lut_depth) for t in trees}
+    assert len(metas) == 1, "scenes must share tree meta to stack"
+    kmax = max(t.child.shape[0] for t in trees)
+
+    def padded(t):
+        pad = kmax - t.child.shape[0]
+        return (jnp.pad(t.child, (0, pad)),
+                jnp.pad(t.data, ((0, pad), (0, 0))))
+
+    childs, datas = zip(*(padded(t) for t in trees))
+    t0 = trees[0]
+    return dataclasses.replace(
+        t0,
+        child=jnp.stack(childs),
+        data=jnp.stack(datas),
+        offset=jnp.stack([t.offset for t in trees]),
+        scale=jnp.stack([t.scale for t in trees]),
+        extra=jnp.stack([t.extra for t in trees]),
+        lut=jnp.stack([t.lut for t in trees]),
+    )
+
+
+@partial(jax.jit, static_argnames=("opt", "mesh"))
+def render_scenes_sharded(stacked: TreeArrays, origins, dirs,
+                          opt: RenderOptions, mesh: Mesh):
+    """Render S scenes' ray batches on a 2-D ('scene', 'rays') mesh: each
+    scene group holds one octree (scene-sharded HBM) and splits its rays
+    over the 'rays' axis. origins/dirs: (S, R, 3). Returns (S, R, 4)."""
+    import dataclasses
+    tree_spec = jax.tree_util.tree_map(lambda _: P("scene"), stacked)
+
+    def local(tree_l, o, d):
+        tree1 = jax.tree_util.tree_map(lambda x: x[0], tree_l)
+        out = render_jax.render_rays(tree1, o[0], d[0], opt)
+        return out[None]
+
+    fn = _shmap(local, mesh,
+                in_specs=(tree_spec, P("scene", "rays"), P("scene", "rays")),
+                out_specs=P("scene", "rays"))
+    return fn(stacked, origins, dirs)
+
+
+@partial(jax.jit, static_argnames=("opt", "mesh", "axis_name"))
 def loss_and_grad_sharded(tree: TreeArrays, data, origins, dirs, target,
                           opt: RenderOptions, mesh: Mesh,
                           axis_name: str = "rays"):
