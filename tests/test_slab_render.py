@@ -132,3 +132,15 @@ def test_pallas_path_matches_exact(scene):
     out = slab_render.render_image(grid, cam, opt, gi=128)
     ref = np.asarray(render_jax.render_image(dev, cam, opt))
     assert psnr(out[..., :3], ref[..., :3]) > 35.0
+
+
+def test_int8_grid_quality(scene):
+    """int8 dense grid (in-traversal dequant) vs f16 grid."""
+    dev, grid = scene
+    grid8 = dense_grid.bake_dense(dev, dtype="int8")
+    assert grid8.quantized and grid8.data.dtype == np.int8
+    cam = make_cam((1, 0.2, 0.3))
+    opt = RenderOptions(max_steps=512)
+    a = slab_render.render_image(grid, cam, opt, gi=128)
+    b = slab_render.render_image(grid8, cam, opt, gi=128)
+    assert psnr(b[..., :3], a[..., :3]) > 35.0

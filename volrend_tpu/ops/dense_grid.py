@@ -38,8 +38,9 @@ __all__ = ["DenseGrid", "bake_dense", "full_resolution"]
 def _register(cls):
     return partial(
         jax.tree_util.register_dataclass,
-        data_fields=["data", "offset", "scale", "extra"],
-        meta_fields=["G", "data_dim", "basis_dim", "fmt"],
+        data_fields=["data", "offset", "scale", "extra", "qscale",
+                     "sigma_grid"],
+        meta_fields=["G", "data_dim", "basis_dim", "fmt", "quantized"],
     )(cls)
 
 
@@ -49,18 +50,26 @@ class DenseGrid:
     """Dense voxel payload grid (a JAX pytree).
 
     data  : float16 [G, G, G, D]  leaf payloads at voxel centers
-            (z-major: axis 0 is the slab axis before per-frame permutation)
+            (z-major: axis 0 is the slab axis before per-frame permutation);
+            int8 when ``quantized`` (per-channel linear codes)
     offset/scale : world->tree transform (same as TreeArrays)
     extra : SG/ASG lobe params ((0,0) when unused)
+    qscale: float32 [D] per-channel dequant scales (ones when not quantized)
     """
     data: object
     offset: object
     scale: object
     extra: object
+    qscale: object = None
+    #: (G, G, G) bfloat16 density plane kept at full precision — the march
+    #: kernel always reads sigma here (transmittance is precision-critical;
+    #: int8-quantizing it costs ~12 dB)
+    sigma_grid: object = None
     G: int = 1
     data_dim: int = 4
     basis_dim: int = -1
     fmt: BasisType = BasisType.RGBA
+    quantized: bool = False
 
 
 def full_resolution(tree) -> int:
@@ -69,11 +78,15 @@ def full_resolution(tree) -> int:
 
 
 def bake_dense(tree, G: Optional[int] = None,
-               chunk: int = 2 ** 21) -> DenseGrid:
+               chunk: int = 2 ** 21, dtype: str = "f16") -> DenseGrid:
     """Sample the octree at G^3 voxel centers into a DenseGrid.
 
     tree: N3Tree (host) or TreeArrays (device).
     G: grid resolution; default = the tree's full resolution (exact bake).
+    dtype: "f16" (exact leaf values) or "int8" (per-channel linear
+        quantization — halves HBM residency + per-frame stream traffic;
+        dequantized on the fly inside the traversal/march kernels, the dense
+        analog of the reference's compressed trees).
     """
     if isinstance(tree, N3Tree):
         dev = tree.to_device(lut_depth=None)
@@ -104,13 +117,49 @@ def bake_dense(tree, G: Optional[int] = None,
         ids = jnp.arange(n, dtype=jnp.int32).reshape(-1, chunk)
         return jax.lax.map(sample_rows, ids).reshape(G, G, G, dev.data_dim)
 
+    data = sample_all(dev.child, dev.lut, dev.data)
+    sigma_grid = jax.jit(
+        lambda d: d[..., -1].astype(jnp.bfloat16))(data)
+    qscale = jnp.ones((dev.data_dim,), jnp.float32)
+    quantized = False
+    if dtype == "int8":
+        # colors: per-channel signed int8; sigma: 14-bit fixed point split
+        # across TWO int8 channels (hi*128 + lo) — transmittance needs more
+        # than 8 bits, and keeping it inside the one payload array preserves
+        # the march kernel's single streamed input (a separate per-slab
+        # sigma input measurably breaks the DMA pipeline)
+        @jax.jit
+        def quantize(d):
+            df = d.astype(jnp.float32)
+            cols = df[..., :-1]
+            absmax = jnp.max(jnp.abs(cols), axis=(0, 1, 2))
+            qs_c = jnp.maximum(absmax, 1e-12) / 127.0
+            codes = jnp.clip(jnp.round(cols / qs_c),
+                             -127, 127).astype(jnp.int8)
+            sig = jnp.maximum(df[..., -1], 0.0)
+            qs_s = jnp.maximum(jnp.max(sig), 1e-12) / 16383.0
+            s16 = jnp.clip(jnp.round(sig / qs_s), 0, 16383).astype(jnp.int32)
+            hi = (s16 // 128).astype(jnp.int8)
+            lo = (s16 % 128).astype(jnp.int8)
+            out = jnp.concatenate(
+                [codes, hi[..., None], lo[..., None]], -1)
+            return out, jnp.concatenate([qs_c, qs_s[None], qs_s[None]])
+
+        data, qscale = quantize(data)
+        quantized = True
+    elif dtype != "f16":
+        raise ValueError(f"unsupported grid dtype {dtype!r}")
+
     return DenseGrid(
-        data=sample_all(dev.child, dev.lut, dev.data),
+        data=data,
+        sigma_grid=sigma_grid,
         offset=dev.offset,
         scale=dev.scale,
         extra=dev.extra,
+        qscale=qscale,
         G=G,
         data_dim=dev.data_dim,
         basis_dim=dev.basis_dim,
         fmt=dev.fmt,
+        quantized=quantized,
     )

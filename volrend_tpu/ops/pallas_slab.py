@@ -99,10 +99,11 @@ def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
 
 
 def _make_kernel(G: int, gi: int, D: int, bd: int, flip: bool,
-                 perm: Tuple[int, int, int], basis_lo: int, basis_hi: int):
+                 perm: Tuple[int, int, int], basis_lo: int, basis_hi: int,
+                 sig2: bool):
     slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}  # tree axis -> permuted slot
 
-    def kernel(params_ref, slab_ref, zb_ref, acc_ref):
+    def kernel(params_ref, qs_ref, slab_ref, zb_ref, acc_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -134,7 +135,13 @@ def _make_kernel(G: int, gi: int, D: int, bd: int, flip: bool,
         uyv = (yc - cy) * s_inv
         uxv = (xc - cx) * s_inv
 
-        sigma = slab_ref[0, D - 1].astype(_F32)
+        if sig2:
+            # 14-bit fixed-point sigma split across two int8 planes
+            sigma = (slab_ref[0, 3 * bd].astype(_F32) * 128.0
+                     + slab_ref[0, 3 * bd + 1].astype(_F32)) \
+                * qs_ref[3 * bd]
+        else:
+            sigma = slab_ref[0, D - 1].astype(_F32) * qs_ref[D - 1]
         dtv = (1.0 / G) * jnp.sqrt(
             (uyv * spp1) ** 2 + (uxv * spp2) ** 2 + spp0 * spp0)
         ok = ((sigma > sigma_thresh)
@@ -152,7 +159,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int, flip: bool,
             if k < basis_lo or k > basis_hi:
                 continue
             for c in range(3):
-                raw[c] = raw[c] + slab_ref[0, c * bd + k].astype(_F32) * bk
+                raw[c] = raw[c] + (slab_ref[0, c * bd + k].astype(_F32)
+                                   * qs_ref[c * bd + k]) * bk
         rgb = [jax.nn.sigmoid(r) for r in raw]
 
         # one-hot warp matrices (f32 matmul of a one-hot == exact gather)
@@ -186,16 +194,23 @@ def _make_kernel(G: int, gi: int, D: int, bd: int, flip: bool,
 
 
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "flip", "perm",
-                                   "basis_lo", "basis_hi"))
-def march_slabs(gplanar, params, zbounds, G: int, gi: int, D: int, bd: int,
-                flip: bool, perm: Tuple[int, int, int],
-                basis_lo: int = 0, basis_hi: int = 24):
+                                   "basis_lo", "basis_hi", "sig2"))
+def march_slabs(gplanar, params, qscale, zbounds, G: int,
+                gi: int, D: int, bd: int, flip: bool,
+                perm: Tuple[int, int, int],
+                basis_lo: int = 0, basis_hi: int = 24, sig2: bool = False):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
-    gplanar: (G, D, G, G) float16 channel-planar permuted grid.
-    params: (20,) f32 (see _pack_params). zbounds: (2, gi, gi) f32.
+    gplanar: (G, Dp, G, G) channel-planar permuted grid — bf16 payload
+        (Dp = D, sigma in plane D-1), or int8 codes (Dp = D+1, colors +
+        14-bit fixed-point sigma split over the last two planes; sig2=True)
+        dequantized in-kernel by the per-channel ``qscale``.
+    params: (20,) f32 (see _pack_params). qscale: (Dp,) f32.
+    zbounds: (2, gi, gi) f32.
     """
-    kernel = _make_kernel(G, gi, D, bd, flip, perm, basis_lo, basis_hi)
+    Dp = gplanar.shape[1]
+    kernel = _make_kernel(G, gi, D, bd, flip, perm, basis_lo, basis_hi,
+                          sig2)
     zi_map = ((lambda i: (G - 1 - i, 0, 0, 0)) if flip
               else (lambda i: (i, 0, 0, 0)))
     return pl.pallas_call(
@@ -203,7 +218,8 @@ def march_slabs(gplanar, params, zbounds, G: int, gi: int, D: int, bd: int,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, D, G, G), zi_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Dp, G, G), zi_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, gi, gi), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -212,4 +228,4 @@ def march_slabs(gplanar, params, zbounds, G: int, gi: int, D: int, bd: int,
         out_shape=jax.ShapeDtypeStruct((4, gi, gi), _F32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(params, gplanar, zbounds)
+    )(params, qscale.astype(_F32), gplanar, zbounds)

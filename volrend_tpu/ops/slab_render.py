@@ -152,14 +152,21 @@ def _pallas_ok(grid: DenseGrid, opt: RenderOptions) -> bool:
 
 
 def _permuted_grid(grid: DenseGrid, perm, use_pallas: bool):
-    """Slab-major view: (z,y,x,D) for the XLA march, channel-planar
-    (z,D,y,x) for the Pallas kernel."""
+    """Slab-major views: (payload, sigma_plane).
+
+    XLA march: payload (z,y,x,D); sigma_plane (z,y,x) only when quantized.
+    Pallas march: payload channel-planar (z,D,y,x) (bf16, or int8 codes
+    dequantized in-kernel); sigma always a dedicated full-precision bf16
+    plane (transmittance is precision-critical)."""
     if use_pallas:
-        # Mosaic has no f16 support; bf16 costs ~0.4% relative on sigma and
-        # ~1e-2 absolute on SH coeffs (PSNR ~40 dB vs the f16 XLA path)
-        return jnp.transpose(grid.data, (perm[0], 3, perm[1], perm[2])
-                             ).astype(jnp.bfloat16)
-    return jnp.transpose(grid.data, perm + (3,))
+        planar = jnp.transpose(grid.data, (perm[0], 3, perm[1], perm[2]))
+        if not grid.quantized:
+            # Mosaic has no f16; bf16 costs ~0.4% relative on SH coeffs
+            planar = planar.astype(jnp.bfloat16)
+        return planar, None
+    gdata = jnp.transpose(grid.data, perm + (3,))
+    sig = (jnp.transpose(grid.sigma_grid, perm) if grid.quantized else None)
+    return gdata, sig
 
 
 def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
@@ -252,9 +259,11 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
             lo[1], hi[1], lo[2], hi[2])
         zb = jnp.stack([z_lo_pix, z_hi_pix])
         blo, bhi = opt.basis_minmax
+        payload, _ = gdata
         acc4 = pallas_slab.march_slabs(
-            gdata, params, zb, G, gi, D, grid.basis_dim, flip, perm,
-            basis_lo=int(blo), basis_hi=int(bhi))
+            payload, params, grid.qscale, zb, G, gi, D,
+            grid.basis_dim, flip, perm,
+            basis_lo=int(blo), basis_hi=int(bhi), sig2=grid.quantized)
         acc = jnp.moveaxis(acc4[:3], 0, -1)             # (gi, gi, 3)
         T = acc4[3]
         stopped = T < _F32(opt.stop_thresh)
@@ -278,11 +287,18 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
     sp1, sp2, sp0 = (inv_scale[perm[1]], inv_scale[perm[2]],
                      inv_scale[perm[0]])
 
+    gpayload, gsigma = gdata if isinstance(gdata, tuple) else (gdata, None)
+
     def shade_slab(zi, s):
         """(G, G) voxel grid -> premultiplied-compositing inputs
         (rgb (G,G,3), att (G,G)) for the rays crossing this slab."""
-        slab = gdata[zi]                                # (G, G, D) f16
-        sigma = slab[..., D - 1].astype(_F32)
+        slab = gpayload[zi]                             # (G, G, D or D+1)
+        if grid.quantized:
+            slab = slab.astype(_F32) * grid.qscale
+            sigma = gsigma[zi].astype(_F32)
+            slab = slab[..., :D]                        # colors only below
+        else:
+            sigma = slab[..., D - 1].astype(_F32)
         uvox = (vox - cy) / s                           # (G,) slope of ray
         vvox = (vox - cx) / s                           #      through voxel
         dt_vox = (1.0 / G) * jnp.sqrt(
@@ -400,8 +416,11 @@ def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
     fx_ = (gx - x0)[..., None]
     # single-gather bilinear: TPU gathers are row-count-bound, so fetch all
     # four corners as one quad row [v00|v01|v10|v11] from a pre-packed table
+    # (f16 halves table traffic; values are display-range rgba)
+    inter16 = inter.astype(jnp.float16)
     quad = jnp.concatenate([
-        inter[:-1, :-1], inter[:-1, 1:], inter[1:, :-1], inter[1:, 1:],
+        inter16[:-1, :-1], inter16[:-1, 1:], inter16[1:, :-1],
+        inter16[1:, 1:],
     ], -1)                                              # (gi-1, gi-1, 16)
     y0c = jnp.minimum(y0, gi - 2)
     x0c = jnp.minimum(x0, gi - 2)
@@ -426,6 +445,7 @@ def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
     else:
         q = quad.reshape((gi - 1) * (gi - 1), 16)[
             y0c * (gi - 1) + x0c].reshape(height, width, 4, 4)
+    q = q.astype(_F32)
     v00, v01, v10, v11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
     out = ((v00 * (1 - fx_) + v01 * fx_) * (1 - fy_)
            + (v10 * (1 - fx_) + v11 * fx_) * fy_)
