@@ -116,3 +116,19 @@ def test_multi_scene_sharded(setup):
         ref = np.asarray(render_jax.render_rays(
             trees[s], jnp.asarray(o), jnp.asarray(d), opt))
         np.testing.assert_allclose(out[s], ref, atol=2e-5, rtol=1e-5)
+
+
+def test_leaf_sharded_tree_matches(setup):
+    """TP mode: octree payload row-sharded across devices, fetches resolved
+    with all_gather + psum_scatter; must match the replicated render."""
+    from volrend_tpu.parallel import leaf_shard
+    dev, origins, dirs, opt = setup
+    single = np.asarray(render_jax.render_rays(
+        dev, jnp.asarray(origins), jnp.asarray(dirs), opt))
+
+    mesh = dist.make_mesh(jax.devices()[:4])
+    tree_s, rps = leaf_shard.shard_tree_leaves(dev, mesh)
+    o, d, n = dist.shard_rays(origins, dirs, mesh)
+    out = np.asarray(leaf_shard.render_rays_leaf_sharded(
+        tree_s, o, d, opt, mesh, rps))[:n]
+    np.testing.assert_allclose(out, single, atol=2e-5, rtol=1e-5)

@@ -259,7 +259,8 @@ def _sample_step(data, child, lut, meta: TreeMeta, opt: RenderOptions,
 def _march(data, child, lut, meta: TreeMeta, opt: RenderOptions,
            cen, d, invdir, delta_scale, basis_vals, tmin, tmax,
            differentiable: bool, n_steps: Optional[int] = None,
-           train: Optional[bool] = None, dt_clamp=None):
+           train: Optional[bool] = None, dt_clamp=None,
+           sync_axis: Optional[str] = None):
     """Core march loop over a ray batch.
 
     differentiable=False: masked lax.while_loop until every ray terminates
@@ -318,7 +319,12 @@ def _march(data, child, lut, meta: TreeMeta, opt: RenderOptions,
     else:
         def cond(carry):
             s, i = carry
-            return jnp.any(s["active"]) & (i < opt.max_steps)
+            alive = jnp.any(s["active"])
+            if sync_axis is not None:
+                # leaf-sharded mode: loop bodies contain collectives, so
+                # every device must run the same iteration count
+                alive = lax.psum(alive.astype(jnp.int32), sync_axis) > 0
+            return alive & (i < opt.max_steps)
 
         def wbody(carry):
             s, i = carry
@@ -355,7 +361,8 @@ def _finalize(state, hit, opt: RenderOptions, train: bool):
 
 def render_rays(tree: TreeArrays, origins, dirs, opt: RenderOptions,
                 tmax_bg=None, bg_rgb=None, differentiable: bool = False,
-                n_steps: Optional[int] = None):
+                n_steps: Optional[int] = None,
+                sync_axis: Optional[str] = None):
     """Render world-space rays; returns (R, 4) RGBA with background composited
     (render_kernel offscreen semantics, volrend.cu:135-163).
 
@@ -370,7 +377,7 @@ def render_rays(tree: TreeArrays, origins, dirs, opt: RenderOptions,
         tmax = jnp.minimum(tmax, tmax_bg / delta_scale)
     rgb, alpha = _march(tree.data, tree.child, tree.lut, tree_meta(tree), opt,
                         cen, d, invdir, delta_scale, basis_vals, tmin, tmax,
-                        differentiable, n_steps)
+                        differentiable, n_steps, sync_axis=sync_axis)
     remaining = (1.0 - alpha)[:, None]
     bg = _F32(opt.background_brightness)
     if bg_rgb is not None and tmax_bg is not None:
