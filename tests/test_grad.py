@@ -67,7 +67,7 @@ def test_fused_grad_matches_autodiff(setup):
     scale = np.abs(ga).max()
     np.testing.assert_allclose(gf, ga, atol=3e-3 * scale, rtol=2e-3)
     # both sigma and coefficient gradients must be alive
-    assert np.abs(gf[:, -1]).max() > 0
+    assert np.abs(gf[:, dev.data_dim - 1]).max() > 0
     assert np.abs(gf[:, :-1]).max() > 0
 
 
@@ -80,9 +80,10 @@ def test_grad_finite_differences(setup):
         return float(scan_loss(dev, data, origins, dirs, opt, target))
 
     # check the largest-|grad| sigma coord and coefficient coords
+    # (columns beyond data_dim are lane-alignment padding with zero grads)
     flat = np.abs(grad).copy()
     coords = []
-    sig_col = grad.shape[1] - 1
+    sig_col = dev.data_dim - 1
     coords.append((int(np.abs(grad[:, sig_col]).argmax()), sig_col))
     for _ in range(4):
         ij = np.unravel_index(flat[:, :sig_col].argmax(), flat[:, :sig_col].shape)

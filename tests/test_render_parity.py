@@ -166,3 +166,13 @@ def test_scan_mode_matches_while(tree, cam):
     b = render_jax.render_rays(dev, jnp.asarray(origins), jnp.asarray(dirs),
                                opt, differentiable=True, n_steps=200)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tiled_render_matches(tree, cam):
+    from volrend_tpu.ops import render_jax
+    dev = tree.to_device(lut_depth=None)
+    opt = RenderOptions(max_steps=256)
+    a = np.asarray(render_jax.render_image(dev, cam, opt))
+    b = np.asarray(render_jax.render_image(dev, cam, opt,
+                                           tile=cam.width * 4))
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -46,7 +46,7 @@ def test_bake_full_res_exact(scene):
     rng = np.random.default_rng(0)
     pts = rng.uniform(0, 1, (256, 3)).astype(np.float32)
     leaf_idx, _, _ = render_jax.query_batched(dev, jnp.asarray(pts))
-    ref = np.asarray(dev.data)[np.asarray(leaf_idx)]
+    ref = np.asarray(dev.data)[np.asarray(leaf_idx)][:, :dev.data_dim]
     vox = np.clip((pts * grid.G).astype(np.int64), 0, grid.G - 1)
     got = np.asarray(grid.data)[vox[:, 0], vox[:, 1], vox[:, 2]]
     np.testing.assert_array_equal(got, ref)

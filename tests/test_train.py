@@ -92,7 +92,7 @@ def test_export_npz(problem, tmp_path):
     back = N3Tree(p)
     np.testing.assert_array_equal(
         back.data.reshape(-1, back.data_dim),
-        np.asarray(tr.data, np.float16))
+        np.asarray(tr.data, np.float16)[:, :back.data_dim])
 
 
 def test_sharded_training_step(problem):

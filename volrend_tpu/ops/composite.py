@@ -73,7 +73,8 @@ def probe_coeffs(tree: TreeArrays, point) -> np.ndarray:
     p = jnp.asarray(point, jnp.float32)
     pos = tree.offset + tree.scale * p
     leaf_idx, _, _ = render_jax.query_batched(tree, pos[None])
-    return np.asarray(tree.data[leaf_idx[0]], np.float32)
+    row = render_jax._fetch_rows(tree.data, leaf_idx[:1])[0]
+    return np.asarray(row, np.float32)[:tree.data_dim]
 
 
 def probe_image(tree: TreeArrays, point, size: int = 100) -> np.ndarray:

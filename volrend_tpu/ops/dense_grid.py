@@ -112,7 +112,7 @@ def bake_dense(tree, G: Optional[int] = None,
             x = z0_rows % G
             pos = (jnp.stack([z, y, x], -1).astype(jnp.float32) + 0.5) / G
             leaf_idx, _, _ = render_jax._query(child, lut, pos, meta)
-            return render_jax._fetch_rows(data, leaf_idx)
+            return render_jax._fetch_rows(data, leaf_idx)[:, :dev.data_dim]
 
         ids = jnp.arange(n, dtype=jnp.int32).reshape(-1, chunk)
         return jax.lax.map(sample_rows, ids).reshape(G, G, G, dev.data_dim)

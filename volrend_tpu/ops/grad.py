@@ -119,6 +119,9 @@ def _fused_bwd(opt: RenderOptions, meta: TreeMeta, res, g):
         else:
             gcoef = g_rgb * weight[:, None]
         row = jnp.concatenate([gcoef, dsigma[:, None]], -1)      # (R, D)
+        pad = data.shape[1] - row.shape[1]
+        if pad:
+            row = jnp.pad(row, ((0, 0), (0, pad)))
         row = jnp.where(valid[:, None], row, 0.0)
         grad = s["grad"].at[leaf_idx].add(row)
 

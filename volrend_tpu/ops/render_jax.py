@@ -241,8 +241,8 @@ def _sample_step(data, child, lut, meta: TreeMeta, opt: RenderOptions,
     Rn = cen.shape[0]
     pos = cen + t[:, None] * d
     leaf_idx, cube_sz, rel = _query(child, lut, pos, meta)
-    vals = _fetch_rows(data, leaf_idx).astype(_F32)  # (R, D) gather
-    sigma = vals[:, -1]
+    vals = _fetch_rows(data, leaf_idx).astype(_F32)  # (R, >=D) gather
+    sigma = vals[:, meta.data_dim - 1]
     t_sub = _dda_unit(rel, invdir) / cube_sz
     delta_t = t_sub + _F32(opt.step_size)
     if opt.render_depth or meta.basis_dim < 0:
@@ -389,17 +389,28 @@ def render_rays(tree: TreeArrays, origins, dirs, opt: RenderOptions,
     return jnp.concatenate([rgb, alpha[:, None]], -1)
 
 
-@partial(jax.jit, static_argnames=("opt", "height", "width"))
-def _render_image_jit(tree, origins, dirs, opt, height, width):
+@partial(jax.jit, static_argnames=("opt", "height", "width", "tile"))
+def _render_image_jit(tree, origins, dirs, opt, height, width, tile):
+    if tile and origins.shape[0] % tile == 0 and origins.shape[0] > tile:
+        # tiled march: each tile's while_loop exits when ITS rays finish,
+        # so short rays stop paying for the longest ray in the whole frame
+        out = lax.map(
+            lambda od: render_rays(tree, od[0], od[1], opt),
+            (origins.reshape(-1, tile, 3), dirs.reshape(-1, tile, 3)))
+        return out.reshape(height, width, 4)
     out = render_rays(tree, origins, dirs, opt)
     return out.reshape(height, width, 4)
 
 
-def render_image(tree: TreeArrays, cam, opt: RenderOptions) -> jnp.ndarray:
-    """Render a full frame; returns (H, W, 4) float32 device array."""
+def render_image(tree: TreeArrays, cam, opt: RenderOptions,
+                 tile: int = 0) -> jnp.ndarray:
+    """Render a full frame; returns (H, W, 4) float32 device array.
+
+    tile: optional ray-tile size (e.g. 1 << 16) — identical output, less
+    wasted lane work on frames with divergent march lengths."""
     origins, dirs = cam.pixel_rays(xp=np)
     return _render_image_jit(tree, jnp.asarray(origins), jnp.asarray(dirs),
-                             opt, cam.height, cam.width)
+                             opt, cam.height, cam.width, tile)
 
 
 def make_render_fn(opt: RenderOptions, height: int, width: int):

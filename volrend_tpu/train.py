@@ -96,7 +96,8 @@ class Trainer:
         """Write the optimized scene as a reference-compatible npz."""
         ht = host_tree
         shape = (ht.capacity, ht.N, ht.N, ht.N, ht.data_dim)
-        ht.data = np.asarray(self.data, np.float16).reshape(shape)
+        rows = np.asarray(self.data, np.float16)[:, :ht.data_dim]
+        ht.data = rows.reshape(shape)
         ht.save_npz(path)
 
     # -- checkpoint / resume (§5.4) -----------------------------------------
