@@ -144,3 +144,59 @@ def test_int8_grid_quality(scene):
     a = slab_render.render_image(grid, cam, opt, gi=128)
     b = slab_render.render_image(grid8, cam, opt, gi=128)
     assert psnr(b[..., :3], a[..., :3]) > 35.0
+
+
+def test_slab_sg_basis():
+    """SG trees render through the XLA slab path (kernel falls back)."""
+    from volrend_tpu.models.data_format import BasisType, DataFormat
+    from volrend_tpu.models.synthetic import build_tree, make_blob_scene
+    rng = np.random.default_rng(4)
+    bd = 4
+    density, refine, _ = make_blob_scene(n_blobs=3, seed=4, sigma_scale=50.0)
+    extra = np.concatenate([
+        rng.uniform(2.0, 6.0, (bd, 1)),           # lambda
+        rng.normal(size=(bd, 3)),                 # mu (normalized below)
+    ], -1).astype(np.float32)
+    extra[:, 1:] /= np.linalg.norm(extra[:, 1:], axis=-1, keepdims=True)
+
+    def leaf_fn(pts, cell):
+        out = rng.uniform(-1, 1, (pts.shape[0], 3 * bd + 1)).astype(
+            np.float32)
+        out[:, -1] = density(pts)
+        return out
+
+    tree = build_tree(refine, leaf_fn, max_depth=3, data_dim=3 * bd + 1,
+                      data_format=DataFormat(BasisType.SG, bd))
+    tree.extra = extra
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    assert not slab_render._pallas_ok(grid, RenderOptions())
+
+    cam = make_cam((1, 0.25, 0.3))
+    opt = RenderOptions(max_steps=256)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    assert psnr(out[..., :3], ref[..., :3]) > 30.0
+
+
+def test_slab_rgba_format():
+    """RGBA (basis-free) trees through the slab path."""
+    from volrend_tpu.models.data_format import BasisType, DataFormat
+    from volrend_tpu.models.synthetic import build_tree, make_blob_scene
+    density, refine, _ = make_blob_scene(n_blobs=3, seed=6, sigma_scale=50.0)
+
+    def leaf_fn(pts, cell):
+        out = np.zeros((pts.shape[0], 4), np.float32)
+        out[:, :3] = 0.5 + 0.5 * np.sin(pts * 7.0)
+        out[:, 3] = density(pts)
+        return out
+
+    tree = build_tree(refine, leaf_fn, max_depth=3, data_dim=4,
+                      data_format=DataFormat(BasisType.RGBA, -1))
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    cam = make_cam((0.2, 1, 0.15))
+    opt = RenderOptions(max_steps=256)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    assert psnr(out[..., :3], ref[..., :3]) > 30.0

@@ -86,3 +86,12 @@ def test_wheel_dolly(server):
     _post(base + "/event", {"type": "wheel", "dy": -100})
     c1 = np.linalg.norm(state.cam.center - state.cam.origin)
     assert c1 < c0
+
+
+def test_probe_endpoint(server, tmp_path):
+    base, state = server
+    png = _get(base + "/probe?x=0.1&y=0.2&z=0.3&size=32")
+    p = tmp_path / "probe.png"
+    p.write_bytes(png)
+    img = read_png(str(p))
+    assert img.shape == (32, 32, 3)

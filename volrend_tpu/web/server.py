@@ -61,6 +61,14 @@ label { user-select:none }
   <div id="opts"></div>
   <h3>Layers</h3>
   <div id="layers"></div>
+  <h3>Lumisphere probe</h3>
+  <div class="row">
+    <input id="px" type="number" value="0" step="0.1" style="width:55px">
+    <input id="py" type="number" value="0" step="0.1" style="width:55px">
+    <input id="pz" type="number" value="0" step="0.1" style="width:55px">
+    <button onclick="probe()">probe</button>
+  </div>
+  <img id="probeimg" width="100" height="100" style="background:#000">
 </div>
 <div id="fps"></div>
 <script>
@@ -106,6 +114,12 @@ window.addEventListener('keydown', e => {
   const k = e.key.toLowerCase();
   if ('wasdqe'.includes(k)) post('/event', {type:'key', key:k});
 });
+async function probe() {
+  const v = k => document.getElementById(k).value;
+  const r = await fetch(`/probe?x=${v('px')}&y=${v('py')}&z=${v('pz')}`);
+  document.getElementById('probeimg').src =
+    URL.createObjectURL(await r.blob());
+}
 const OPT_SLIDERS = [
   ['step_size', 1e-5, 2e-3, 'log'],
   ['sigma_thresh', 0.0, 1.0, 'lin'],
@@ -208,6 +222,15 @@ class ViewerState:
                 if ev.get("key") in moves:
                     self.cam.move(moves[ev["key"]] * step)
 
+    def probe(self, point, size: int = 100) -> bytes:
+        """Lumisphere probe ball (the reference GUI's inset display)."""
+        from volrend_tpu.ops.composite import probe_image
+        with self.lock:
+            img = probe_image(self.dev, point, size=size)
+        buf = io.BytesIO()
+        _write_png_bytes(buf, img)
+        return buf.getvalue()
+
     def info(self) -> dict:
         return {
             "data_dim": self.tree.data_dim,
@@ -265,6 +288,11 @@ def make_handler(state: ViewerState):
                 w = int(q.get("w", ["640"])[0])
                 h = int(q.get("h", ["640"])[0])
                 self._send(200, state.render(w, h), "image/png")
+            elif u.path == "/probe":
+                q = parse_qs(u.query)
+                pt = tuple(float(q.get(k, ["0"])[0]) for k in "xyz")
+                size = int(q.get("size", ["100"])[0])
+                self._send(200, state.probe(pt, size), "image/png")
             else:
                 self._send(404, b"{}")
 
