@@ -320,6 +320,10 @@ def open_drawlist(path_or_dict, default_visible: bool = True) -> List[Mesh]:
     iteration order)."""
     if isinstance(path_or_dict, dict):
         npz = path_or_dict
+    elif isinstance(path_or_dict, (bytes, bytearray)):
+        import io as _io
+        with np.load(_io.BytesIO(path_or_dict), allow_pickle=False) as f:
+            npz = dict(f.items())   # open_drawlist_mem parity
     else:
         with np.load(path_or_dict, allow_pickle=False) as f:
             npz = dict(f.items())
