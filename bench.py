@@ -131,13 +131,40 @@ def main():
     total = np.asarray(render_all(grid, trs_list, static_pf))
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(total))
-
     mrays = N_POSES * W * H / dt / 1e6
+    _log(f"throughput {mrays:.1f} Mrays/s ({mrays / BASELINE_MRAYS:.2f}x)")
+
+    # ---- quality gate: slab output vs the exact T2 octree renderer --------
+    # One pose, pixel-subsampled (stride 5 -> 160x160 exact rays through the
+    # per-sample octree march). This prices the bench's own quality knobs
+    # (gi, int8 grid, bf16 warp) so the throughput number can't be bought by
+    # degrading them silently.
+    _log("quality gate: exact reference rays")
+    from volrend_tpu.ops import render_jax
+    cam = cams[0]
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    frame = np.asarray(slab_render.render_frame(
+        grid, jnp.asarray(cam.transform), fx, fy, perm, flip, W, H, opt,
+        gi=448))
+    ys = np.arange(0, H, 5)
+    xs = np.arange(0, W, 5)
+    origins, dirs = cam.pixel_rays(xp=np)
+    sel = (ys[:, None] * W + xs[None, :]).reshape(-1)
+    exact = np.asarray(render_jax.render_rays(
+        dev, jnp.asarray(origins[sel]), jnp.asarray(dirs[sel]), opt))
+    got = frame[ys][:, xs].reshape(-1, 4)
+    mse = float(np.mean((got[:, :3] - exact[:, :3]) ** 2))
+    psnr = 99.0 if mse < 1e-12 else -10.0 * np.log10(mse)
+    _log(f"psnr_vs_exact {psnr:.2f} dB")
+    assert psnr >= 40.0, f"quality gate failed: {psnr:.2f} dB < 40 dB"
+
     print(json.dumps({
         "metric": "render_throughput_800x800_sh16",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "psnr_vs_exact_db": round(psnr, 2),
     }))
 
 

@@ -134,6 +134,32 @@ def test_pallas_path_matches_exact(scene):
     assert psnr(out[..., :3], ref[..., :3]) > 35.0
 
 
+@pytest.mark.parametrize("back", [(1, 0.2, 0.3), (-0.2, -0.1, -1)])
+def test_pallas_interpret_matches_xla_slab(scene, back, monkeypatch):
+    """Pallas kernel semantics vs the XLA slab path, via interpret mode on
+    CPU (same culled slab list, same compositing; only the warp-resample
+    precision differs — bf16 one-hot matmuls vs f32 gathers)."""
+    import jax
+    from volrend_tpu.ops import pallas_slab
+    if pallas_slab.available():
+        pytest.skip("real TPU present; covered by the TPU parity test")
+    dev, grid = scene
+    cam = make_cam(back, width=48, height=48)
+    opt = RenderOptions(max_steps=512)
+    ref = slab_render.render_image(grid, cam, opt, gi=96)
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        assert slab_render._pallas_ok(grid, opt)
+        out = slab_render.render_image(grid, cam, opt, gi=96)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    assert psnr(out[..., :3], ref[..., :3]) > 45.0
+    np.testing.assert_allclose(out[..., 3], ref[..., 3], atol=2e-2)
+
+
 def test_int8_grid_quality(scene):
     """int8 dense grid (in-traversal dequant) vs f16 grid."""
     dev, grid = scene

@@ -53,10 +53,13 @@ def main():
         15].set(1e-2).at[17].set(1.0).at[19].set(1.0)
     zb = jnp.stack([jnp.zeros((gi, gi)), jnp.ones((gi, gi))])
 
+    ids = grid.slab_ids(perm[0], flip, float(opt.sigma_thresh))
+    log(f"occupied slabs: {len(ids)}/{G}")
+
     @jax.jit
     def march_only(gp, p, z):
         return pallas_slab.march_slabs(gp, p, z, G, gi, grid.data_dim,
-                                       grid.basis_dim, False, perm)
+                                       grid.basis_dim, perm, slab_ids=ids)
     t = sync_time(march_only, gplanar, params, zb)
     log(f"march kernel alone  : {t*1e3:7.2f} ms")
 

@@ -40,7 +40,8 @@ def _register(cls):
         jax.tree_util.register_dataclass,
         data_fields=["data", "offset", "scale", "extra", "qscale",
                      "sigma_grid"],
-        meta_fields=["G", "data_dim", "basis_dim", "fmt", "quantized"],
+        meta_fields=["G", "data_dim", "basis_dim", "fmt", "quantized",
+                     "occ_max"],
     )(cls)
 
 
@@ -70,6 +71,19 @@ class DenseGrid:
     basis_dim: int = -1
     fmt: BasisType = BasisType.RGBA
     quantized: bool = False
+    #: per-axis slab occupancy: occ_max[a][i] = max sigma over slab i along
+    #: tree axis a (3 tuples of G floats; static so the renderer can cull
+    #: empty slabs at trace time). None = unknown (no culling).
+    occ_max: Optional[Tuple[Tuple[float, ...], ...]] = None
+
+    def slab_ids(self, axis: int, reverse: bool,
+                 sigma_thresh: float) -> Tuple[int, ...]:
+        """March-ordered z-indices of the non-empty slabs along ``axis``."""
+        order = range(self.G - 1, -1, -1) if reverse else range(self.G)
+        if self.occ_max is None:
+            return tuple(order)
+        occ = self.occ_max[axis]
+        return tuple(i for i in order if occ[i] > sigma_thresh)
 
 
 def full_resolution(tree) -> int:
@@ -120,6 +134,12 @@ def bake_dense(tree, G: Optional[int] = None,
     data = sample_all(dev.child, dev.lut, dev.data)
     sigma_grid = jax.jit(
         lambda d: d[..., -1].astype(jnp.bfloat16))(data)
+    # per-axis slab occupancy (one tiny host transfer; lets the renderer
+    # cull empty slabs statically — the dominant content-dependent saving)
+    occ = np.asarray(jax.jit(lambda s: jnp.stack([
+        jnp.max(s, (1, 2)), jnp.max(s, (0, 2)), jnp.max(s, (0, 1)),
+    ]))(sigma_grid.astype(jnp.float32)), np.float32)
+    occ_max = tuple(tuple(float(v) for v in row) for row in occ)
     qscale = jnp.ones((dev.data_dim,), jnp.float32)
     quantized = False
     if dtype == "int8":
@@ -162,4 +182,5 @@ def bake_dense(tree, G: Optional[int] = None,
         basis_dim=dev.basis_dim,
         fmt=dev.fmt,
         quantized=quantized,
+        occ_max=occ_max,
     )

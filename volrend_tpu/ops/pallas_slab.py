@@ -2,20 +2,30 @@
 
 The XLA slab march (``ops/slab_render.py``) round-trips the (gi, gi)
 accumulator and per-slab intermediates through HBM every slab (~30 MB/slab).
-This kernel fuses shade + warp + composite for ALL slabs with the
-accumulator resident in VMEM, so HBM traffic collapses to the volume read
-itself — the grid streams through the kernel's automatic slab pipeline
-(grid dimension = slab index; Pallas double-buffers the incoming block).
+This kernel fuses shade + warp + composite with the accumulator resident in
+VMEM, so HBM traffic collapses to the volume read itself — and only the
+*occupied* part of it: empty slabs (max sigma below the threshold) are
+culled from the slab list before the kernel launches, and the march runs as
+a chunked ``lax.while_loop`` that stops dispatching chunks once every
+intermediate pixel has either saturated (T < stop_thresh) or passed its
+z-exit — the TPU equivalent of the reference's per-ray early-out
+(rt_core.cuh:176-185).
 
 Per slab, entirely on-chip:
-- shade: sigma plane -> tau = sigma*dt(u,v); SH basis planes evaluated
-  in-register from the per-voxel ray direction; rgb = sigmoid(sum coeffs*b)
-- warp: the separable scale+translate resample is executed on the MXU as
-  two one-hot matmuls per channel (one-hot rows select exactly one voxel,
-  so f32 matmul == exact nearest gather — no per-lane gather needed, which
-  Mosaic does not support)
-- composite: front-to-back with stop-threshold freeze (rt_core.cuh:176-185
-  semantics; a ray whose T drops below stop_thresh stops contributing)
+- shade: SH basis planes evaluated in-register from the per-voxel ray
+  direction; rgb = sigmoid(sum coeffs*b); sigma masked by threshold + bbox
+- warp: a separable **box-integration two-tap resample** executed on the
+  MXU (each matrix row holds the two fractional-overlap weights of the
+  pixel ray's within-slab span — integrating the piecewise-constant field
+  exactly where the span crosses at most one cell boundary; matches the
+  reference's per-voxel DDA chords to second order). Emission is
+  sigma-weighted: the stacked channels are [sigma, sigma*r, sigma*g,
+  sigma*b] — ONE (4G, G) @ (G, gi) column-warp followed by four
+  (gi, G) @ (G, gi) row warps, in bfloat16 with f32 accumulation (<0.5%
+  relative on the weights — far above the fp16 payload's own precision).
+- composite: tau = warped sigma * per-pixel slab thickness; front-to-back
+  with stop-threshold freeze (rt_core.cuh:176-185 semantics; a ray whose T
+  drops below stop_thresh stops contributing)
 
 Data layout: the grid is passed channel-planar (G_z, D, G_y, G_x) so every
 plane the kernel touches is a (G, G) tile with the lane dimension = G_x.
@@ -24,12 +34,13 @@ plane the kernel touches is a (G, G) tile with the lane dimension = G_x.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -38,9 +49,21 @@ from volrend_tpu.ops import basis as basis_mod
 __all__ = ["march_slabs", "available"]
 
 _F32 = jnp.float32
+_BF16 = jnp.bfloat16
+
+#: test hook: force the kernel to run in Pallas interpret mode on CPU
+#: (callers must jax.clear_caches() after flipping this — jit caches key on
+#: static args only, not on this flag)
+_FORCE_INTERPRET = False
+
+#: slabs per while-loop chunk: small enough that early exit saves real work,
+#: large enough that the per-chunk dispatch/cond overhead amortizes
+_CHUNK = 32
 
 
 def available() -> bool:
+    if _FORCE_INTERPRET:
+        return True
     try:
         import jax.experimental.pallas  # noqa: F401
         return jax.default_backend() == "tpu"
@@ -98,106 +121,171 @@ def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
     ]).astype(_F32)
 
 
-def _make_kernel(G: int, gi: int, D: int, bd: int, flip: bool,
+def _make_kernel(G: int, gi: int, D: int, bd: int,
                  perm: Tuple[int, int, int], basis_lo: int, basis_hi: int,
                  sig2: bool):
     slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}  # tree axis -> permuted slot
 
-    def kernel(params_ref, qs_ref, slab_ref, zb_ref, acc_ref):
+    def kernel(ids_ref, params_ref, qs_ref, slab_ref, zb_ref, accin_ref,
+               acc_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
-            acc_ref[0] = jnp.zeros((gi, gi), _F32)
-            acc_ref[1] = jnp.zeros((gi, gi), _F32)
-            acc_ref[2] = jnp.zeros((gi, gi), _F32)
-            acc_ref[3] = jnp.ones((gi, gi), _F32)
+            acc_ref[...] = accin_ref[...]
 
-        p = params_ref
-        cz, cy, cx = p[0], p[1], p[2]
-        u0, du, v0, dv = p[3], p[4], p[5], p[6]
-        sgn = p[7]
-        spp0, spp1, spp2 = p[8], p[9], p[10]
-        inv_s = (p[11], p[12], p[13])
-        sigma_thresh, stop_thresh = p[14], p[15]
-        lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
+        sid = ids_ref[i]
 
-        zi = (G - 1 - i) if flip else i
-        z = (zi.astype(_F32) + 0.5) / G
-        s = z - cz
-        s_inv = 1.0 / s
+        @pl.when(sid >= 0)
+        def _body():
+            p = params_ref
+            cz, cy, cx = p[0], p[1], p[2]
+            u0, du, v0, dv = p[3], p[4], p[5], p[6]
+            sgn = p[7]
+            spp0, spp1, spp2 = p[8], p[9], p[10]
+            inv_s = (p[11], p[12], p[13])
+            sigma_thresh, stop_thresh = p[14], p[15]
+            lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
 
-        # per-voxel ray slopes (planes over the slab)
-        yrow = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0).astype(_F32)
-        xcol = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1).astype(_F32)
-        yc = (yrow + 0.5) / G
-        xc = (xcol + 0.5) / G
-        uyv = (yc - cy) * s_inv
-        uxv = (xc - cx) * s_inv
+            z = (sid.astype(_F32) + 0.5) / G
+            s = z - cz
+            s0 = z - 0.5 / G - cz                       # slab entry/exit
+            s1 = z + 0.5 / G - cz
+            s_inv = 1.0 / s
 
-        if sig2:
-            # 14-bit fixed-point sigma split across two int8 planes
-            sigma = (slab_ref[0, 3 * bd].astype(_F32) * 128.0
-                     + slab_ref[0, 3 * bd + 1].astype(_F32)) \
-                * qs_ref[3 * bd]
-        else:
-            sigma = slab_ref[0, D - 1].astype(_F32) * qs_ref[D - 1]
-        dtv = (1.0 / G) * jnp.sqrt(
-            (uyv * spp1) ** 2 + (uxv * spp2) ** 2 + spp0 * spp0)
-        ok = ((sigma > sigma_thresh)
-              & (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2))
-        tau = jnp.where(ok, dtv * sigma, 0.0)
+            # per-voxel ray slopes (planes over the slab)
+            yrow = lax.broadcasted_iota(jnp.int32, (G, G), 0).astype(_F32)
+            xcol = lax.broadcasted_iota(jnp.int32, (G, G), 1).astype(_F32)
+            yc = (yrow + 0.5) / G
+            xc = (xcol + 0.5) / G
+            uyv = (yc - cy) * s_inv
+            uxv = (xc - cx) * s_inv
 
-        # per-voxel world view direction -> SH shading
-        d_perm = (jnp.full((G, G), sgn, _F32), sgn * uyv, sgn * uxv)
-        dw = [d_perm[slot[a]] * inv_s[a] for a in range(3)]
-        rnorm = jax.lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
-        dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
+            if sig2:
+                # 14-bit fixed-point sigma split across two int8 planes
+                sigma = (slab_ref[0, 3 * bd].astype(_F32) * 128.0
+                         + slab_ref[0, 3 * bd + 1].astype(_F32)) \
+                    * qs_ref[3 * bd]
+            else:
+                sigma = slab_ref[0, D - 1].astype(_F32) * qs_ref[D - 1]
+            ok = ((sigma > sigma_thresh)
+                  & (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2))
+            sigma = jnp.where(ok, sigma, 0.0)
 
-        raw = [jnp.zeros((G, G), _F32) for _ in range(3)]
-        for k, bk in _sh_planes(bd, dx, dy, dz):
-            if k < basis_lo or k > basis_hi:
-                continue
+            # per-voxel world view direction -> SH shading
+            d_perm = (jnp.full((G, G), sgn, _F32), sgn * uyv, sgn * uxv)
+            dw = [d_perm[slot[a]] * inv_s[a] for a in range(3)]
+            rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
+            dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
+
+            raw = [jnp.zeros((G, G), _F32) for _ in range(3)]
+            for k, bk in _sh_planes(bd, dx, dy, dz):
+                if k < basis_lo or k > basis_hi:
+                    continue
+                for c in range(3):
+                    raw[c] = raw[c] + (slab_ref[0, c * bd + k].astype(_F32)
+                                       * qs_ref[c * bd + k]) * bk
+            srgb = [sigma * jax.nn.sigmoid(r) for r in raw]
+
+            # box-integration two-tap warp matrices: integrate the
+            # piecewise-constant field over each pixel ray's within-slab
+            # span (exact per-voxel DDA chords to second order). Two
+            # nonzeros per row — same matmul shapes as a one-hot gather;
+            # weights are exact-enough in bf16 (<0.5% relative).
+            jrow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
+            gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1)
+            uj = u0 + du * jrow
+            p0r = (cy + s0 * uj) * G
+            p1r = (cy + s1 * uj) * G
+            pminr = jnp.minimum(p0r, p1r)
+            c0r = jnp.clip(jnp.floor(pminr).astype(jnp.int32), 0, G - 1)
+            spanr = jnp.maximum(jnp.abs(p1r - p0r), 1e-9)
+            fr = jnp.clip((c0r.astype(_F32) + 1.0 - pminr) / spanr,
+                          0.0, 1.0)
+            ohr = ((gcol == c0r).astype(_F32) * fr
+                   + (gcol == jnp.clip(c0r + 1, 0, G - 1)).astype(_F32)
+                   * (1.0 - fr)).astype(_BF16)                  # (gi, G)
+
+            grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0)
+            icol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
+            vk = v0 + dv * icol
+            p0c = (cx + s0 * vk) * G
+            p1c = (cx + s1 * vk) * G
+            pminc = jnp.minimum(p0c, p1c)
+            d0c = jnp.clip(jnp.floor(pminc).astype(jnp.int32), 0, G - 1)
+            spanc = jnp.maximum(jnp.abs(p1c - p0c), 1e-9)
+            fc = jnp.clip((d0c.astype(_F32) + 1.0 - pminc) / spanc,
+                          0.0, 1.0)
+            ohct = ((grow == d0c).astype(_F32) * fc
+                    + (grow == jnp.clip(d0c + 1, 0, G - 1)).astype(_F32)
+                    * (1.0 - fc)).astype(_BF16)                 # (G, gi)
+
+            # stage 1: stacked column warp — ONE (4G, G) @ (G, gi) matmul
+            stack = jnp.concatenate(
+                [sigma, srgb[0], srgb[1], srgb[2]], axis=0).astype(_BF16)
+            w1 = jnp.dot(stack, ohct, preferred_element_type=_F32)  # (4G,gi)
+            w1 = w1.astype(_BF16)
+            # stage 2: row warp per channel — (gi, G) @ (G, gi)
+            sig_w = jnp.dot(ohr, w1[:G], preferred_element_type=_F32)
+            srgb_w = [jnp.dot(ohr, w1[(c + 1) * G:(c + 2) * G],
+                              preferred_element_type=_F32) for c in range(3)]
+
+            # per-pixel slab thickness along the ray (world units)
+            ujq = lax.broadcasted_iota(jnp.int32, (gi, gi), 0).astype(_F32)
+            vkq = lax.broadcasted_iota(jnp.int32, (gi, gi), 1).astype(_F32)
+            up = (u0 + du * ujq) * spp1
+            vp = (v0 + dv * vkq) * spp2
+            dt_pix = (1.0 / G) * jnp.sqrt(up * up + vp * vp + spp0 * spp0)
+            tau_w = sig_w * dt_pix
+            att = jnp.exp(-tau_w)
+            sig_inv = 1.0 / jnp.maximum(sig_w, 1e-12)
+
+            zlo = zb_ref[0]
+            zhi = zb_ref[1]
+            T = acc_ref[3]
+            m = ((z >= zlo) & (z <= zhi) & (T >= stop_thresh)
+                 & (tau_w > 0.0))
+            w = jnp.where(m, T * (1.0 - att), 0.0)
+            wn = w * sig_inv
             for c in range(3):
-                raw[c] = raw[c] + (slab_ref[0, c * bd + k].astype(_F32)
-                                   * qs_ref[c * bd + k]) * bk
-        rgb = [jax.nn.sigmoid(r) for r in raw]
-
-        # one-hot warp matrices (f32 matmul of a one-hot == exact gather)
-        jrow = jax.lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
-        gcol = jax.lax.broadcasted_iota(jnp.int32, (gi, G), 1)
-        iyv = jnp.floor((cy + s * (u0 + du * jrow)) * G).astype(jnp.int32)
-        ohr = (gcol == jnp.clip(iyv, 0, G - 1)).astype(_F32)   # (gi, G)
-        grow = jax.lax.broadcasted_iota(jnp.int32, (G, gi), 0)
-        icol = jax.lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
-        ixv = jnp.floor((cx + s * (v0 + dv * icol)) * G).astype(jnp.int32)
-        ohct = (grow == jnp.clip(ixv, 0, G - 1)).astype(_F32)  # (G, gi)
-
-        def warp(plane):
-            w1 = jnp.dot(ohr, plane, preferred_element_type=_F32)
-            return jnp.dot(w1, ohct, preferred_element_type=_F32)
-
-        tau_w = warp(tau)
-        att = jnp.exp(-tau_w)
-        rgb_w = [warp(r) for r in rgb]
-
-        zlo = zb_ref[0]
-        zhi = zb_ref[1]
-        T = acc_ref[3]
-        m = ((z >= zlo) & (z <= zhi) & (T >= stop_thresh) & (tau_w > 0.0))
-        w = jnp.where(m, T * (1.0 - att), 0.0)
-        for c in range(3):
-            acc_ref[c] = acc_ref[c] + w * rgb_w[c]
-        acc_ref[3] = jnp.where(m, T * att, T)
+                acc_ref[c] = acc_ref[c] + wn * srgb_w[c]
+            acc_ref[3] = jnp.where(m, T * att, T)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "flip", "perm",
+def _chunk_call(kernel, ids_chunk, params, qscale, gplanar, zbounds, acc,
+                G: int, gi: int, Dp: int):
+    """One chunked kernel dispatch over _CHUNK slabs (ids < 0 are skipped)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ids_chunk.shape[0],),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Dp, G, G),
+                         lambda i, ids: (jnp.maximum(ids[i], 0), 0, 0, 0)),
+            pl.BlockSpec((2, gi, gi), lambda i, ids: (0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, gi, gi), _F32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_FORCE_INTERPRET,
+    )(ids_chunk, params, qscale, gplanar, zbounds, acc)
+
+
+@partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
                                    "basis_lo", "basis_hi", "sig2"))
 def march_slabs(gplanar, params, qscale, zbounds, G: int,
-                gi: int, D: int, bd: int, flip: bool,
+                gi: int, D: int, bd: int,
                 perm: Tuple[int, int, int],
+                slab_ids: Optional[Tuple[int, ...]] = None,
                 basis_lo: int = 0, basis_hi: int = 24, sig2: bool = False):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
@@ -206,26 +294,67 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
         14-bit fixed-point sigma split over the last two planes; sig2=True)
         dequantized in-kernel by the per-channel ``qscale``.
     params: (20,) f32 (see _pack_params). qscale: (Dp,) f32.
-    zbounds: (2, gi, gi) f32.
+    zbounds: (2, gi, gi) f32 per-pixel live z interval.
+    slab_ids: static tuple of slab z-indices in march order (front to back
+        along the ray), pre-culled of empty slabs by the caller; None means
+        all G slabs in ascending order.
     """
     Dp = gplanar.shape[1]
-    kernel = _make_kernel(G, gi, D, bd, flip, perm, basis_lo, basis_hi,
-                          sig2)
-    zi_map = ((lambda i: (G - 1 - i, 0, 0, 0)) if flip
-              else (lambda i: (i, 0, 0, 0)))
-    return pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Dp, G, G), zi_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, gi, gi), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, gi, gi), _F32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(params, qscale.astype(_F32), gplanar, zbounds)
+    if slab_ids is None:
+        slab_ids = tuple(range(G))
+    kernel = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi, sig2)
+
+    acc0 = jnp.concatenate([
+        jnp.zeros((3, gi, gi), _F32), jnp.ones((1, gi, gi), _F32)])
+    if not slab_ids:
+        return acc0
+
+    ids = np.asarray(slab_ids, np.int32)
+    n_chunks = -(-len(ids) // _CHUNK)
+    ids_pad = np.full(n_chunks * _CHUNK, -1, np.int32)
+    ids_pad[:len(ids)] = ids
+    ids_mat = ids_pad.reshape(n_chunks, _CHUNK)
+    # static per-chunk and remaining-suffix z coverage, for dynamic skipping
+    zs = (ids_mat.astype(np.float64) + 0.5) / G
+    zs = np.where(ids_mat >= 0, zs, np.nan)
+    with np.errstate(invalid="ignore"):
+        czmin = np.where(np.all(np.isnan(zs), 1), np.inf, np.nanmin(zs, 1))
+        czmax = np.where(np.all(np.isnan(zs), 1), -np.inf, np.nanmax(zs, 1))
+    rem_zmin = np.minimum.accumulate(czmin[::-1])[::-1]
+    rem_zmax = np.maximum.accumulate(czmax[::-1])[::-1]
+    czmin_d = jnp.asarray(czmin, _F32)
+    czmax_d = jnp.asarray(czmax, _F32)
+    rem_zmin_d = jnp.asarray(rem_zmin, _F32)
+    rem_zmax_d = jnp.asarray(rem_zmax, _F32)
+    ids_dev = jnp.asarray(ids_mat)
+
+    stop_thresh = params[15]
+    z_lo, z_hi = zbounds[0], zbounds[1]
+    valid_pix = z_lo <= z_hi
+
+    def live(T, zmin, zmax):
+        """Any pixel that can still accumulate within slab-z range
+        [zmin, zmax]?"""
+        return jnp.any(valid_pix & (T >= stop_thresh)
+                       & (z_hi >= zmin) & (z_lo <= zmax))
+
+    def cond(carry):
+        c, acc = carry
+        in_range = c < n_chunks
+        zmin = rem_zmin_d[jnp.minimum(c, n_chunks - 1)]
+        zmax = rem_zmax_d[jnp.minimum(c, n_chunks - 1)]
+        return in_range & live(acc[3], zmin, zmax)
+
+    def body(carry):
+        c, acc = carry
+        hit = live(acc[3], czmin_d[c], czmax_d[c])
+        acc = lax.cond(
+            hit,
+            lambda a: _chunk_call(kernel, ids_dev[c], params, qscale,
+                                  gplanar, zbounds, a, G, gi, Dp),
+            lambda a: a,
+            acc)
+        return c + 1, acc
+
+    _, acc = lax.while_loop(cond, body, (jnp.int32(0), acc0))
+    return acc

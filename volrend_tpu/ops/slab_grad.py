@@ -1,0 +1,426 @@
+"""Differentiable fast path: training through the dense-grid slab renderer.
+
+Round-1 training ran on the per-sample octree-gather path (``ops/grad.py``)
+— numerically exact, but built on per-row HBM gathers that measure ~80
+Mrows/s on v5e (three orders of magnitude short of the slab path). This
+module makes the *fast* renderer differentiable end to end:
+
+    leaf data (K, D) --bake--> dense grid --permute--> slab march
+        --finalize+warp--> (H, W, 4) --loss
+
+Two pieces carry hand-written structure; everything else is plain autodiff:
+
+1. **Differentiable bake** (`bake_from_data`): the octree->grid bake is a
+   pure broadcast of leaf rows into their axis-aligned voxel blocks. It is
+   built as a coarse-to-fine pyramid — scatter each depth's leaves into an
+   (N^j)^3 grid, upsample by N, repeat — so the *transpose* (what autodiff
+   derives) is a fine-to-coarse sum-pool pyramid plus one compact scatter
+   per depth: O(G^3) dense traffic, no G^3-row scatters. The voxel->leaf
+   block map (`BakeMap`) is static per scene.
+
+2. **Custom-VJP slab march** (`_march_diff`): forward is the slab
+   compositing loop (shade -> box-tap warp -> front-to-back composite,
+   exactly ``slab_render._render_frame_impl``'s math in training
+   semantics); backward **re-marches** the slabs with O(1) memory per
+   pixel, using the same suffix-reconstruction algebra as the per-sample
+   VJP (``ops/grad.py``):
+
+       dL/dtau_i   = T_i att_i G_i - (Ctot - A_i) - T_end * g_T
+       dL/drgb_i,c = g_c * w_i
+
+   with G_i = sum_c g_c rgb_i,c, A_i the running prefix of w_j G_j, and
+   Ctot = sum_c g_c acc_c. The per-slab (pixel grads -> voxel-plane grads)
+   chain — warp adjoint, sigma-weighted emission quotient, sigmoid, basis
+   outer product — is delegated to ``jax.vjp`` of the shared per-slab
+   function, so it can never drift from the forward; each slab's (G, G, D)
+   grad plane is written once into the grid cotangent (no collisions by
+   construction).
+
+Training semantics match ``ops/grad.py``: no early-stop renormalization
+(display-only rescale, rt_core.cuh:181-183), smooth alpha = 1 - T_end;
+early termination at stop_thresh is kept as an epsilon-sized truncation.
+
+The forward math being differentiated is the march of rt_core.cuh:105-195
+re-factored into slab order; gradient correctness is pinned by autodiff
+parity + finite differences in tests/test_slab_grad.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from volrend_tpu.models.data_format import BasisType
+from volrend_tpu.ops import basis as basis_mod
+from volrend_tpu.ops import render_jax, slab_render
+from volrend_tpu.ops.dense_grid import DenseGrid
+from volrend_tpu.utils.options import RenderOptions
+
+_F32 = jnp.float32
+
+__all__ = ["BakeMap", "build_bake_map", "bake_from_data",
+           "render_frame_train", "loss_and_grad_frame"]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable bake
+# ---------------------------------------------------------------------------
+
+def _register_bake_map(cls):
+    return partial(
+        jax.tree_util.register_dataclass,
+        data_fields=["rows", "coords"],
+        meta_fields=["G", "N", "D", "sizes"],
+    )(cls)
+
+
+@_register_bake_map
+@dataclasses.dataclass
+class BakeMap:
+    """Static octree->grid block map, one level per depth.
+
+    rows[j]  : int32 (K_j,) leaf row indices (into flattened tree data)
+               whose leaves have side 1/N^(j+1) (block count B = N^(j+1))
+    coords[j]: int32 (K_j,) flat block index (z*B + y)*B + x at that level
+    """
+    rows: Tuple[object, ...]
+    coords: Tuple[object, ...]
+    G: int = 1
+    N: int = 2
+    D: int = 4
+    sizes: Tuple[int, ...] = ()
+
+
+def build_bake_map(dev, G: Optional[int] = None,
+                   chunk: int = 2 ** 20) -> BakeMap:
+    """Enumerate each leaf's (row, block) at its own depth level.
+
+    dev: TreeArrays. G: grid resolution (default: the tree's full
+    resolution; must be N**k with every leaf at least one voxel in size).
+    """
+    from volrend_tpu.ops.dense_grid import full_resolution
+    if G is None:
+        G = full_resolution(dev)
+    N = dev.N
+    meta = render_jax.tree_meta(dev)
+
+    levels = []
+    j = 0
+    covered = 0
+    while N ** (j + 1) <= G:
+        B = N ** (j + 1)
+        n = B * B * B
+        csize = min(chunk, n)
+        while n % csize:
+            csize //= 2
+
+        @jax.jit
+        def level_query(child, lut):
+            def q(rows):
+                z = rows // (B * B)
+                y = (rows // B) % B
+                x = rows % B
+                pos = (jnp.stack([z, y, x], -1).astype(_F32) + 0.5) / B
+                leaf_idx, cube_sz, _ = render_jax._query(child, lut, pos,
+                                                         meta)
+                return leaf_idx, cube_sz.astype(jnp.int32)
+
+            ids = jnp.arange(n, dtype=jnp.int32).reshape(-1, csize)
+            li, cs = jax.lax.map(q, ids)
+            return li.reshape(-1), cs.reshape(-1)
+
+        li, cs = level_query(dev.child, dev.lut)
+        li = np.asarray(li)
+        mask = np.asarray(cs) == B
+        rows = li[mask].astype(np.int32)
+        coords = np.nonzero(mask)[0].astype(np.int32)
+        levels.append((rows, coords))
+        covered += rows.size * (G // B) ** 3
+        j += 1
+
+    if covered != G * G * G:
+        raise ValueError(
+            f"bake map covers {covered} of {G ** 3} voxels: G={G} is finer "
+            f"than the tree supports or not a power of N")
+    return BakeMap(
+        rows=tuple(jnp.asarray(r) for r, _ in levels),
+        coords=tuple(jnp.asarray(c) for _, c in levels),
+        G=G, N=N, D=dev.data_dim,
+        sizes=tuple(int(r.size) for r, _ in levels),
+    )
+
+
+def bake_from_data(data, bmap: BakeMap):
+    """Bake leaf payload rows into the dense (G, G, G, D) grid.
+
+    Differentiable w.r.t. ``data`` (K, >=D); autodiff's transpose is a
+    sum-pool pyramid + per-level compact gathers (no G^3-row scatters).
+    """
+    N, G, D = bmap.N, bmap.G, bmap.D
+    data = data[:, :D]
+    g = None
+    B = 1
+    for rows, coords in zip(bmap.rows, bmap.coords):
+        Bn = B * N
+        if g is None:
+            g = jnp.zeros((Bn, Bn, Bn, D), data.dtype)
+        else:
+            # upsample by N (broadcast each block into its N^3 children)
+            g = jnp.broadcast_to(
+                g[:, None, :, None, :, None, :],
+                (B, N, B, N, B, N, D)).reshape(Bn, Bn, Bn, D)
+        if rows.shape[0]:
+            g = g.reshape(-1, D).at[coords].set(
+                data[rows]).reshape(Bn, Bn, Bn, D)
+        B = Bn
+    if B != G:
+        raise ValueError(f"bake map resolution {B} != G {G}")
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Custom-VJP slab march
+# ---------------------------------------------------------------------------
+
+class SlabCfg(NamedTuple):
+    """Hashable static march configuration."""
+    G: int
+    gi: int
+    D: int
+    bd: int
+    fmt: int
+    perm: Tuple[int, int, int]
+    flip: bool
+    ids: Tuple[int, ...]
+    opt: RenderOptions
+
+
+def _slab_pixels(cfg: SlabCfg, slab, extra, gm, zi):
+    """One slab -> per-intermediate-pixel (tau_w, rgb_w).
+
+    Same math as slab_render's substep: voxel-space shade (SH -> sigmoid
+    rgb, sigma mask), box-integration two-tap warp of [sigma, sigma*rgb],
+    sigma-weighted emission. Differentiable w.r.t. ``slab`` (G, G, D); the
+    backward pass takes its jax.vjp per slab.
+    """
+    G, gi, D, bd = cfg.G, cfg.gi, cfg.D, cfg.bd
+    opt = cfg.opt
+    perm = cfg.perm
+    cy, cx, cz = gm["cy"], gm["cx"], gm["cz"]
+    uy, ux = gm["uy"], gm["ux"]
+    scale = gm["scale"]
+    z = (zi.astype(_F32) + 0.5) / G
+    s = z - cz
+    s0 = z - 0.5 / G - cz
+    s1 = z + 0.5 / G - cz
+
+    sigma = slab[..., D - 1]
+    vox = (jnp.arange(G, dtype=_F32) + 0.5) / G
+    lo, hi = gm["lo"], gm["hi"]
+    ok = ((vox[:, None] >= lo[1]) & (vox[:, None] < hi[1])
+          & (vox[None, :] >= lo[2]) & (vox[None, :] < hi[2])
+          & (sigma > _F32(opt.sigma_thresh)))
+    sigma = jnp.where(ok, sigma, 0.0)
+
+    if bd < 0:
+        rgb = slab[..., :3]
+    else:
+        sgn = _F32(-1.0 if cfg.flip else 1.0)
+        inv = np.argsort(perm)
+        uvox = (vox - cy) / s
+        vvox = (vox - cx) / s
+        dvox = jnp.stack([
+            jnp.broadcast_to(sgn, (G, G)),
+            sgn * uvox[:, None] * jnp.ones((1, G), _F32),
+            sgn * jnp.ones((G, 1), _F32) * vvox[None, :],
+        ], -1)[..., inv] / scale
+        dvox = dvox / jnp.linalg.norm(dvox, axis=-1, keepdims=True)
+        rot = render_jax._rodrigues_matrix(opt.rot_dirs)
+        if rot is not None:
+            dvox = dvox @ jnp.asarray(rot).T
+        bv = basis_mod.eval_basis(BasisType(cfg.fmt), bd, dvox, extra,
+                                  xp=jnp)
+        bv = basis_mod.apply_basis_window(
+            bv.astype(_F32), opt.basis_minmax, xp=jnp)
+        coeffs = slab[..., :3 * bd].reshape(G, G, 3, bd)
+        rgb = jax.nn.sigmoid(jnp.einsum("yxcb,yxb->yxc", coeffs, bv))
+
+    X = jnp.concatenate([sigma[..., None], sigma[..., None] * rgb], -1)
+    c0, c1, fr = slab_render._boxtap((cy + s0 * uy) * G,
+                                     (cy + s1 * uy) * G, G)
+    Xr = (fr[:, None, None] * X[c0]
+          + (1.0 - fr)[:, None, None] * X[c1])
+    d0, d1, fc = slab_render._boxtap((cx + s0 * ux) * G,
+                                     (cx + s1 * ux) * G, G)
+    Xw = (fc[None, :, None] * Xr[:, d0]
+          + (1.0 - fc)[None, :, None] * Xr[:, d1])
+    sig_w = Xw[..., 0]
+    inv_scale = 1.0 / scale
+    sp0, sp1, sp2 = (inv_scale[perm[0]], inv_scale[perm[1]],
+                     inv_scale[perm[2]])
+    dt_pix = (1.0 / G) * jnp.sqrt(
+        (uy * sp1)[:, None] ** 2 + (ux * sp2)[None, :] ** 2 + sp0 ** 2)
+    tau_w = sig_w * dt_pix
+    rgb_w = Xw[..., 1:] / jnp.maximum(sig_w, 1e-12)[..., None]
+    return tau_w, rgb_w
+
+
+def _composite_update(cfg: SlabCfg, zi, tau_w, rgb_w, gm, acc, T, done):
+    """Shared forward compositing update for one slab."""
+    G = cfg.G
+    z = (zi.astype(_F32) + 0.5) / G
+    z_lo, z_hi = gm["z_lo"], gm["z_hi"]
+    att = jnp.exp(-tau_w)
+    in_z = (z >= z_lo) & (z <= z_hi)
+    m = (~done) & in_z & (tau_w > 0.0)
+    w = jnp.where(m, T * (1.0 - att), 0.0)
+    acc = acc + w[..., None] * rgb_w
+    T_new = jnp.where(m, T * att, T)
+    stopped = m & (T_new < _F32(cfg.opt.stop_thresh))
+    passed = (z < z_lo) if cfg.flip else (z > z_hi)
+    done = done | stopped | passed
+    return acc, T_new, done, m, w, att
+
+
+def _march_fwd_impl(cfg: SlabCfg, payload, extra, gm):
+    """Training-semantics slab march; scan over the culled static slab list.
+
+    Returns (acc (gi,gi,3), T (gi,gi)). Reverse-differentiable on its own
+    (lax.scan + smooth ops), which the tests exploit; the custom VJP exists
+    to avoid materializing per-slab residuals.
+    """
+    gi = cfg.gi
+    z_lo, z_hi = gm["z_lo"], gm["z_hi"]
+
+    def step(carry, zi):
+        acc, T, done = carry
+        slab = lax.dynamic_index_in_dim(payload, zi, 0, keepdims=False)
+        tau_w, rgb_w = _slab_pixels(cfg, slab, extra, gm, zi)
+        acc, T, done, _, _, _ = _composite_update(
+            cfg, zi, tau_w, rgb_w, gm, acc, T, done)
+        return (acc, T, done), None
+
+    never = z_lo > z_hi
+    init = (jnp.zeros((gi, gi, 3), _F32), jnp.ones((gi, gi), _F32), never)
+    if not cfg.ids:
+        return init[0], init[1]
+    ids = jnp.asarray(np.asarray(cfg.ids, np.int32))
+    (acc, T, _), _ = lax.scan(step, init, ids)
+    return acc, T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _march_diff(cfg: SlabCfg, payload, extra, gm):
+    return _march_fwd_impl(cfg, payload, extra, gm)
+
+
+def _march_fwd(cfg, payload, extra, gm):
+    acc, T = _march_fwd_impl(cfg, payload, extra, gm)
+    return (acc, T), (payload, extra, gm, acc, T)
+
+
+def _march_bwd(cfg: SlabCfg, res, gbar):
+    payload, extra, gm, acc, T_end = res
+    g_acc, g_T = gbar
+    g_acc = g_acc.astype(_F32)
+    g_T = g_T.astype(_F32)
+    G, gi, D = cfg.G, cfg.gi, cfg.D
+    z_lo, z_hi = gm["z_lo"], gm["z_hi"]
+
+    ctot = jnp.einsum("yxc,yxc->yx", g_acc, acc)
+    gT_term = T_end * g_T
+
+    def step(carry, zi):
+        T, A, done, grad = carry
+        slab = lax.dynamic_index_in_dim(payload, zi, 0, keepdims=False)
+        (tau_w, rgb_w), pix_vjp = jax.vjp(
+            lambda sl: _slab_pixels(cfg, sl, extra, gm, zi), slab)
+        acc_dummy = jnp.zeros((gi, gi, 3), _F32)
+        _, T_new, done_new, m, w, att = _composite_update(
+            cfg, zi, tau_w, rgb_w, gm, acc_dummy, T, done)
+
+        # suffix-reconstruction pixel gradients (grad.py algebra)
+        G_pix = jnp.einsum("yxc,yxc->yx", g_acc, rgb_w)
+        A = A + w * G_pix
+        g_tau_w = jnp.where(m, T * att * G_pix - (ctot - A) - gT_term, 0.0)
+        g_rgb_w = g_acc * w[..., None]
+
+        (g_slab,) = pix_vjp((g_tau_w, g_rgb_w))
+        grad = lax.dynamic_update_slice(
+            grad, g_slab[None].astype(grad.dtype), (zi, 0, 0, 0))
+        return (T_new, A, done_new, grad), None
+
+    never = z_lo > z_hi
+    grad0 = jnp.zeros((G, G, G, D), _F32)
+    init = (jnp.ones((gi, gi), _F32), jnp.zeros((gi, gi), _F32), never,
+            grad0)
+    if cfg.ids:
+        ids = jnp.asarray(np.asarray(cfg.ids, np.int32))
+        (_, _, _, grad), _ = lax.scan(step, init, ids)
+    else:
+        grad = grad0
+    return (grad.astype(payload.dtype), jnp.zeros_like(extra),
+            jax.tree_util.tree_map(jnp.zeros_like, gm))
+
+
+_march_diff.defvjp(_march_fwd, _march_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Frame-level API
+# ---------------------------------------------------------------------------
+
+def render_frame_train(data, bmap: BakeMap, grid: DenseGrid, transform,
+                       fx, fy, perm: Tuple[int, int, int], flip: bool,
+                       width: int, height: int, opt: RenderOptions,
+                       gi: int = 512, use_custom_vjp: bool = True):
+    """Differentiable (H, W, 4) render of one pose from leaf ``data``.
+
+    data: (K, >=D) float32 trainable leaf payloads (flattened tree rows).
+    grid: DenseGrid for static metadata (scale/offset/extra/occupancy) —
+        its baked payload is NOT used; voxels come from ``data`` via
+        ``bmap`` so gradients flow to the leaves.
+    use_custom_vjp: False switches to plain autodiff through the scan
+        (O(n_slabs) residual memory; for tests).
+    """
+    opt = opt.replace(renormalize=False, render_depth=False)
+    payload = bake_from_data(data.astype(_F32), bmap)
+    pperm = jnp.transpose(payload, perm + (3,))
+    geom = slab_render.FrameGeom(grid, transform, fx, fy, perm, flip,
+                                 width, height, opt, gi)
+    ids = grid.slab_ids(perm[0], flip, float(opt.sigma_thresh))
+    cfg = SlabCfg(G=grid.G, gi=gi, D=grid.data_dim, bd=grid.basis_dim,
+                  fmt=int(grid.fmt), perm=perm, flip=flip, ids=ids, opt=opt)
+    gm = dict(cz=geom.cz, cy=geom.cy, cx=geom.cx,
+              uy=geom.uy, ux=geom.ux,
+              z_lo=geom.z_lo_pix, z_hi=geom.z_hi_pix,
+              scale=geom.scale, lo=geom.lo, hi=geom.hi)
+    gm = {k: lax.stop_gradient(v) for k, v in gm.items()}
+    march = _march_diff if use_custom_vjp else _march_fwd_impl
+    acc, T = march(cfg, pperm, lax.stop_gradient(grid.extra), gm)
+    # training finalize: smooth alpha = 1 - T (no renorm, no hard switch)
+    inter = jnp.concatenate([acc, (1.0 - T)[..., None]], -1)
+    return slab_render._warp_to_screen(
+        inter, opt, geom.R, geom.fx, geom.fy, width, height, gi, perm,
+        geom.u0, geom.du, geom.v0, geom.dv, geom.scale, precise=True)
+
+
+def loss_and_grad_frame(data, bmap: BakeMap, grid: DenseGrid, transform,
+                        fx, fy, perm, flip, width: int, height: int,
+                        target, opt: RenderOptions, gi: int = 512):
+    """Mean-squared RGB pixel loss for one pose + its per-leaf gradients."""
+
+    def loss_fn(d):
+        out = render_frame_train(d, bmap, grid, transform, fx, fy, perm,
+                                 flip, width, height, opt, gi)
+        diff = out[..., :3] - target[..., :3]
+        return jnp.mean(diff * diff)
+
+    return jax.value_and_grad(loss_fn)(data)
