@@ -77,6 +77,44 @@ def test_sg_basis():
         rtol=1e-6)
 
 
+def test_asg_closed_form():
+    """ASG numeric values against hand evaluation of
+    S*exp(-a(d.mu_x)^2 - b(d.mu_y)^2)/B (lumisphere.hpp:14-28; the
+    reference marks ASG 'UNTESTED' — this pins our semantics numerically)."""
+    from volrend_tpu.ops.basis import eval_asg_basis
+    # lobe 0: canonical frame; lobe 1: rotated frame
+    rot = np.array([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    extra = np.array([
+        [2.0, 3.0, 1, 0, 0, 0, 1, 0, 0, 0, 1],
+        np.concatenate([[0.5, 1.5], rot.reshape(-1)]),
+    ], dtype=np.float32)
+    dirs = _random_dirs(32, seed=9)
+    out = eval_asg_basis(dirs, extra)
+    B = extra.shape[0]
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    want0 = z * np.exp(-2.0 * x * x - 3.0 * y * y) / B
+    np.testing.assert_allclose(out[:, 0], want0, rtol=1e-5, atol=1e-7)
+    dx, dy, dz = (dirs @ rot[0], dirs @ rot[1], dirs @ rot[2])
+    want1 = dz * np.exp(-0.5 * dx * dx - 1.5 * dy * dy) / B
+    np.testing.assert_allclose(out[:, 1], want1, rtol=1e-5, atol=1e-7)
+    # hand-picked point: d = +mu_z of lobe 0 -> exactly 1/B
+    out_z = eval_asg_basis(np.array([[0.0, 0.0, 1.0]]), extra)
+    np.testing.assert_allclose(out_z[0, 0], 1.0 / B, rtol=1e-6)
+
+
+def test_asg_jnp_matches_numpy():
+    from volrend_tpu.ops.basis import eval_asg_basis
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    extra = rng.normal(size=(3, 11)).astype(np.float32)
+    extra[:, :2] = np.abs(extra[:, :2])
+    dirs = _random_dirs(16, seed=5)
+    a = eval_asg_basis(dirs, extra)
+    b = np.asarray(eval_asg_basis(jnp.asarray(dirs), jnp.asarray(extra),
+                                  xp=jnp))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_basis_window():
     vals = np.ones((4, 9))
     w = apply_basis_window(vals, (2, 5))

@@ -140,6 +140,34 @@ def test_sg_format(cam):
     assert_images_close(want, got)
 
 
+def _asg_tree():
+    rng = np.random.default_rng(11)
+    bd = 4
+    _, refine, leaf_factory = make_blob_scene(n_blobs=3, seed=2,
+                                              sigma_scale=50.0)
+    t = build_tree(refine, leaf_factory(bd, coeff_seed=5), max_depth=3,
+                   data_dim=3 * bd + 1,
+                   data_format=DataFormat(BasisType.ASG, bd))
+    # per lobe: random orthonormal frame (mu_x, mu_y, mu_z) + positive a, b
+    extra = np.zeros((bd, 11), np.float32)
+    for i in range(bd):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        extra[i, 0] = rng.uniform(0.5, 4.0)
+        extra[i, 1] = rng.uniform(0.5, 4.0)
+        extra[i, 2:] = q.T.reshape(-1)
+    t.extra = extra
+    return t
+
+
+def test_asg_format(cam):
+    """ASG render parity oracle-vs-T2 (the reference ships ASG untested —
+    lumisphere.hpp:14 'UNTESTED ASG'; we pin it numerically AND end-to-end)."""
+    t = _asg_tree()
+    want, got = render_both(t, cam, RenderOptions())
+    assert (want[..., 3] > 0.5).mean() > 0.1
+    assert_images_close(want, got)
+
+
 def test_ndc(cam):
     t = make_test_tree(max_depth=3, basis_dim=4, seed=4, sigma_scale=60.0)
     t.use_ndc = True

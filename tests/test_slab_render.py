@@ -134,6 +134,78 @@ def test_pallas_path_matches_exact(scene):
     assert psnr(out[..., :3], ref[..., :3]) > 35.0
 
 
+def _interpret_vs_xla(grid, cam, opt, monkeypatch, gi=96, gate=45.0,
+                      atol_alpha=2e-2):
+    """Render through XLA slab path and (interpret-mode) Pallas kernel."""
+    import jax
+    from volrend_tpu.ops import pallas_slab
+    ref = slab_render.render_image(grid, cam, opt, gi=gi)
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        assert slab_render._pallas_ok(grid, opt)
+        out = slab_render.render_image(grid, cam, opt, gi=gi)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    assert psnr(out[..., :3], ref[..., :3]) > gate, \
+        f"interpret-kernel PSNR {psnr(out[..., :3], ref[..., :3]):.1f}"
+    np.testing.assert_allclose(out[..., 3], ref[..., 3], atol=atol_alpha)
+
+
+def test_pallas_interpret_depth_mode(scene, monkeypatch):
+    dev, grid = scene
+    cam = make_cam((1, 0.2, 0.3), width=32, height=32)
+    _interpret_vs_xla(grid, cam, RenderOptions(render_depth=True,
+                                               max_steps=512),
+                      monkeypatch, gate=40.0)
+
+
+def test_pallas_interpret_rot_dirs(scene, monkeypatch):
+    dev, grid = scene
+    cam = make_cam((1, 0.2, 0.3), width=32, height=32)
+    _interpret_vs_xla(grid, cam,
+                      RenderOptions(rot_dirs=(0.3, -0.2, 0.5),
+                                    max_steps=512), monkeypatch)
+
+
+def test_pallas_interpret_sg(monkeypatch):
+    from volrend_tpu.models.data_format import BasisType, DataFormat
+    from volrend_tpu.models.synthetic import build_tree, make_blob_scene
+    rng = np.random.default_rng(4)
+    bd = 4
+    _, refine, leaf_factory = make_blob_scene(n_blobs=3, seed=4,
+                                              sigma_scale=50.0)
+    tree = build_tree(refine, leaf_factory(bd, coeff_seed=2), max_depth=3,
+                      data_dim=3 * bd + 1,
+                      data_format=DataFormat(BasisType.SG, bd))
+    mu = rng.normal(size=(bd, 3))
+    mu /= np.linalg.norm(mu, axis=-1, keepdims=True)
+    lam = rng.uniform(1.0, 6.0, (bd, 1))
+    tree.extra = np.concatenate([lam, mu], -1).astype(np.float32)
+    grid = dense_grid.bake_dense(tree.to_device(lut_depth=None))
+    cam = make_cam((1, 0.25, 0.3), width=32, height=32)
+    _interpret_vs_xla(grid, cam, RenderOptions(max_steps=256), monkeypatch)
+
+
+def test_pallas_interpret_rgba(monkeypatch):
+    from volrend_tpu.models.data_format import BasisType, DataFormat
+    from volrend_tpu.models.synthetic import build_tree, make_blob_scene
+    density, refine, _ = make_blob_scene(n_blobs=3, seed=6, sigma_scale=50.0)
+
+    def leaf_fn(pts, cell):
+        out = np.zeros((pts.shape[0], 4), np.float32)
+        out[:, :3] = 0.5 + 0.5 * np.sin(pts * 7.0)
+        out[:, 3] = density(pts)
+        return out
+
+    tree = build_tree(refine, leaf_fn, max_depth=3, data_dim=4,
+                      data_format=DataFormat(BasisType.RGBA, -1))
+    grid = dense_grid.bake_dense(tree.to_device(lut_depth=None))
+    cam = make_cam((0.2, 1, 0.15), width=32, height=32)
+    _interpret_vs_xla(grid, cam, RenderOptions(max_steps=256), monkeypatch)
+
+
 @pytest.mark.parametrize("back", [(1, 0.2, 0.3), (-0.2, -0.1, -1)])
 def test_pallas_interpret_matches_xla_slab(scene, back, monkeypatch):
     """Pallas kernel semantics vs the XLA slab path, via interpret mode on
@@ -193,6 +265,35 @@ def test_slab_sg_basis():
 
     tree = build_tree(refine, leaf_fn, max_depth=3, data_dim=3 * bd + 1,
                       data_format=DataFormat(BasisType.SG, bd))
+    tree.extra = extra
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    assert not slab_render._pallas_ok(grid, RenderOptions())
+
+    cam = make_cam((1, 0.25, 0.3))
+    opt = RenderOptions(max_steps=256)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    assert psnr(out[..., :3], ref[..., :3]) > 30.0
+
+
+def test_slab_asg_basis():
+    """ASG trees render through the XLA slab path (kernel falls back)."""
+    from volrend_tpu.models.data_format import BasisType, DataFormat
+    from volrend_tpu.models.synthetic import build_tree, make_blob_scene
+    rng = np.random.default_rng(12)
+    bd = 4
+    density, refine, leaf_factory = make_blob_scene(
+        n_blobs=3, seed=4, sigma_scale=50.0)
+    tree = build_tree(refine, leaf_factory(bd, coeff_seed=9), max_depth=3,
+                      data_dim=3 * bd + 1,
+                      data_format=DataFormat(BasisType.ASG, bd))
+    extra = np.zeros((bd, 11), np.float32)
+    for i in range(bd):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        extra[i, 0] = rng.uniform(0.5, 4.0)
+        extra[i, 1] = rng.uniform(0.5, 4.0)
+        extra[i, 2:] = q.T.reshape(-1)
     tree.extra = extra
     dev = tree.to_device(lut_depth=None)
     grid = dense_grid.bake_dense(dev)

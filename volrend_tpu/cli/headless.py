@@ -89,22 +89,57 @@ def main(argv=None) -> int:
         if args.renderer == "oracle":
             from volrend_tpu.ops import oracle
             return oracle.render_image(tree, cam, opt)
-        if args.renderer == "slab":
-            from volrend_tpu.ops import slab_render
-            if slab_render.compatible(grid, cam.transform, cam.fx, cam.fy,
-                                      cam.width, cam.height):
-                return slab_render.render_image(grid, cam, opt, gi=args.gi)
         return np.asarray(render_jax.render_image(dev, cam, opt))
 
-    # warmup/compile outside the timer (the reference's first-frame CUDA
-    # compile cost is likewise excluded by its cudaEvent placement)
-    _ = render_one(cams[0])
+    if args.renderer == "slab":
+        # Group poses by (perm, flip) and render each group as ONE jitted
+        # lax.map dispatch (render_frames): on the axon tunnel every
+        # dispatch+sync round trip costs ~26 ms, so per-pose dispatch
+        # would be dispatch-bound, not render-bound. Poses the slab path
+        # can't take (rays straddle the slab axis) fall back to the exact
+        # renderer, one dispatch each. Matches the reference's protocol of
+        # timing the whole loop (main_headless.cpp:203-231).
+        import jax
+        from volrend_tpu.ops import slab_render
 
-    frames = []
-    t0 = time.perf_counter()
-    for cam in cams:
-        frames.append(render_one(cam))
-    dt = time.perf_counter() - t0
+        groups = {}
+        fallback = []
+        for i, cam in enumerate(cams):
+            perm, flip, slope = slab_render.choose_axis(
+                grid, cam.transform, cam.fx, cam.fy, width, height)
+            if np.isfinite(slope):
+                groups.setdefault((perm, flip), []).append(i)
+            else:
+                fallback.append(i)
+
+        def run_groups():
+            frames = [None] * len(cams)
+            for (perm, flip), idxs in groups.items():
+                trs = jnp.asarray(
+                    np.stack([cams[i].transform for i in idxs]), jnp.float32)
+                out = np.asarray(slab_render.render_frames(
+                    grid, trs, fx, fy, perm, flip, width, height, opt,
+                    gi=args.gi))
+                for j, i in enumerate(idxs):
+                    frames[i] = out[j]
+            for i in fallback:
+                frames[i] = render_one(cams[i])
+            return frames
+
+        run_groups()                     # warmup/compile outside the timer
+        t0 = time.perf_counter()
+        frames = run_groups()
+        dt = time.perf_counter() - t0
+    else:
+        # warmup/compile outside the timer (the reference's first-frame
+        # CUDA compile cost is likewise excluded by its cudaEvent placement)
+        _ = render_one(cams[0])
+
+        frames = []
+        t0 = time.perf_counter()
+        for cam in cams:
+            frames.append(render_one(cam))
+        dt = time.perf_counter() - t0
 
     n = len(cams)
     print(f"{1e3 * dt / n:.10f} ms per frame")

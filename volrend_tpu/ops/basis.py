@@ -83,8 +83,9 @@ def eval_sg_basis(dirs, extra, xp=np):
 
 def eval_asg_basis(dirs, extra, xp=np):
     """Anisotropic SG: extra is (basis_dim, 11) =
-    [a, b, _, mu_x(3), mu_y(3), mu_z(3)] (lumisphere.hpp:14-28; untested
-    upstream, kept for surface parity).
+    [a, b, mu_x(3), mu_y(3), mu_z(3)] (lumisphere.hpp:14-28; marked
+    UNTESTED upstream — our numeric semantics are pinned by
+    tests/test_basis.py::test_asg_closed_form).
 
     out_i = (d . mu_z) * exp(-a (d.mu_x)^2 - b (d.mu_y)^2) / basis_dim
     """

@@ -123,11 +123,14 @@ def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
 
 def _make_kernel(G: int, gi: int, D: int, bd: int,
                  perm: Tuple[int, int, int], basis_lo: int, basis_hi: int,
-                 sig2: bool):
+                 sig2: bool, fmt: int, depth: bool,
+                 rot: Optional[Tuple[float, ...]]):
     slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}  # tree axis -> permuted slot
+    from volrend_tpu.models.data_format import BasisType
+    bt = BasisType(fmt)
 
-    def kernel(ids_ref, params_ref, qs_ref, slab_ref, zb_ref, accin_ref,
-               acc_ref):
+    def kernel(ids_ref, params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
+               accin_ref, acc_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -163,29 +166,66 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
 
             if sig2:
                 # 14-bit fixed-point sigma split across two int8 planes
-                sigma = (slab_ref[0, 3 * bd].astype(_F32) * 128.0
-                         + slab_ref[0, 3 * bd + 1].astype(_F32)) \
-                    * qs_ref[3 * bd]
+                sigma = (slab_ref[0, D - 1].astype(_F32) * 128.0
+                         + slab_ref[0, D].astype(_F32)) \
+                    * qs_ref[D - 1]
             else:
                 sigma = slab_ref[0, D - 1].astype(_F32) * qs_ref[D - 1]
             ok = ((sigma > sigma_thresh)
                   & (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2))
             sigma = jnp.where(ok, sigma, 0.0)
 
-            # per-voxel world view direction -> SH shading
-            d_perm = (jnp.full((G, G), sgn, _F32), sgn * uyv, sgn * uxv)
-            dw = [d_perm[slot[a]] * inv_s[a] for a in range(3)]
-            rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
-            dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
+            if depth:
+                srgb = None
+            elif bd < 0:
+                # RGBA payload: raw colors, no basis
+                srgb = [sigma * slab_ref[0, c].astype(_F32) * qs_ref[c]
+                        for c in range(3)]
+            else:
+                # per-voxel world view direction -> basis shading
+                d_perm = (jnp.full((G, G), sgn, _F32), sgn * uyv, sgn * uxv)
+                dw = [d_perm[slot[a]] * inv_s[a] for a in range(3)]
+                rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1]
+                                  + dw[2] * dw[2])
+                dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
+                if rot is not None:
+                    # static rodrigues viewdir rotation (volrend.cu:57-71)
+                    dx, dy, dz = (rot[0] * dx + rot[1] * dy + rot[2] * dz,
+                                  rot[3] * dx + rot[4] * dy + rot[5] * dz,
+                                  rot[6] * dx + rot[7] * dy + rot[8] * dz)
 
-            raw = [jnp.zeros((G, G), _F32) for _ in range(3)]
-            for k, bk in _sh_planes(bd, dx, dy, dz):
-                if k < basis_lo or k > basis_hi:
-                    continue
-                for c in range(3):
-                    raw[c] = raw[c] + (slab_ref[0, c * bd + k].astype(_F32)
-                                       * qs_ref[c * bd + k]) * bk
-            srgb = [sigma * jax.nn.sigmoid(r) for r in raw]
+                if bt == BasisType.SH:
+                    planes = _sh_planes(bd, dx, dy, dz)
+                elif bt == BasisType.SG:
+                    # exp(lam (mu.d - 1)) / bd    (lumisphere.hpp:30-36)
+                    planes = ((k, jnp.exp(extra_ref[4 * k] * (
+                        extra_ref[4 * k + 1] * dx + extra_ref[4 * k + 2] * dy
+                        + extra_ref[4 * k + 3] * dz - 1.0)) / bd)
+                        for k in range(bd))
+                elif bt == BasisType.ASG:
+                    # S exp(-a dotx^2 - b doty^2) / bd (lumisphere.hpp:14-28)
+                    def _asg_planes():
+                        for k in range(bd):
+                            e = [extra_ref[11 * k + t] for t in range(11)]
+                            dotx = e[2] * dx + e[3] * dy + e[4] * dz
+                            doty = e[5] * dx + e[6] * dy + e[7] * dz
+                            S = e[8] * dx + e[9] * dy + e[10] * dz
+                            yield k, S * jnp.exp(
+                                -e[0] * dotx * dotx
+                                - e[1] * doty * doty) / bd
+                    planes = _asg_planes()
+                else:
+                    raise NotImplementedError(f"basis {bt}")
+
+                raw = [jnp.zeros((G, G), _F32) for _ in range(3)]
+                for k, bk in planes:
+                    if k < basis_lo or k > basis_hi:
+                        continue
+                    for c in range(3):
+                        raw[c] = raw[c] + (
+                            slab_ref[0, c * bd + k].astype(_F32)
+                            * qs_ref[c * bd + k]) * bk
+                srgb = [sigma * jax.nn.sigmoid(r) for r in raw]
 
             # box-integration two-tap warp matrices: integrate the
             # piecewise-constant field over each pixel ray's within-slab
@@ -221,14 +261,16 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     * (1.0 - fc)).astype(_BF16)                 # (G, gi)
 
             # stage 1: stacked column warp — ONE (4G, G) @ (G, gi) matmul
-            stack = jnp.concatenate(
-                [sigma, srgb[0], srgb[1], srgb[2]], axis=0).astype(_BF16)
-            w1 = jnp.dot(stack, ohct, preferred_element_type=_F32)  # (4G,gi)
+            # (depth mode only needs the sigma channel)
+            chans = [sigma] if depth else [sigma, srgb[0], srgb[1], srgb[2]]
+            stack = jnp.concatenate(chans, axis=0).astype(_BF16)
+            w1 = jnp.dot(stack, ohct, preferred_element_type=_F32)
             w1 = w1.astype(_BF16)
             # stage 2: row warp per channel — (gi, G) @ (G, gi)
             sig_w = jnp.dot(ohr, w1[:G], preferred_element_type=_F32)
-            srgb_w = [jnp.dot(ohr, w1[(c + 1) * G:(c + 2) * G],
-                              preferred_element_type=_F32) for c in range(3)]
+            srgb_w = None if depth else [
+                jnp.dot(ohr, w1[(c + 1) * G:(c + 2) * G],
+                        preferred_element_type=_F32) for c in range(3)]
 
             # per-pixel slab thickness along the ray (world units)
             ujq = lax.broadcasted_iota(jnp.int32, (gi, gi), 0).astype(_F32)
@@ -246,21 +288,29 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             m = ((z >= zlo) & (z <= zhi) & (T >= stop_thresh)
                  & (tau_w > 0.0))
             w = jnp.where(m, T * (1.0 - att), 0.0)
-            wn = w * sig_inv
-            for c in range(3):
-                acc_ref[c] = acc_ref[c] + wn * srgb_w[c]
+            if depth:
+                up_r = u0 + du * ujq
+                vp_r = v0 + dv * vkq
+                tview = jnp.abs(s) * jnp.sqrt(
+                    1.0 + up_r * up_r + vp_r * vp_r)
+                acc_ref[0] = acc_ref[0] + w * tview
+            else:
+                wn = w * sig_inv
+                for c in range(3):
+                    acc_ref[c] = acc_ref[c] + wn * srgb_w[c]
             acc_ref[3] = jnp.where(m, T * att, T)
 
     return kernel
 
 
-def _chunk_call(kernel, ids_chunk, params, qscale, gplanar, zbounds, acc,
-                G: int, gi: int, Dp: int):
+def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
+                acc, G: int, gi: int, Dp: int):
     """One chunked kernel dispatch over _CHUNK slabs (ids < 0 are skipped)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ids_chunk.shape[0],),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Dp, G, G),
@@ -277,16 +327,19 @@ def _chunk_call(kernel, ids_chunk, params, qscale, gplanar, zbounds, acc,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_FORCE_INTERPRET,
-    )(ids_chunk, params, qscale, gplanar, zbounds, acc)
+    )(ids_chunk, params, qscale, extra, gplanar, zbounds, acc)
 
 
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
-                                   "basis_lo", "basis_hi", "sig2"))
+                                   "basis_lo", "basis_hi", "sig2", "fmt",
+                                   "depth", "rot"))
 def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 gi: int, D: int, bd: int,
                 perm: Tuple[int, int, int],
                 slab_ids: Optional[Tuple[int, ...]] = None,
-                basis_lo: int = 0, basis_hi: int = 24, sig2: bool = False):
+                basis_lo: int = 0, basis_hi: int = 24, sig2: bool = False,
+                extra=None, fmt: int = 1, depth: bool = False,
+                rot: Optional[Tuple[float, ...]] = None):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
     gplanar: (G, Dp, G, G) channel-planar permuted grid — bf16 payload
@@ -302,7 +355,11 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     Dp = gplanar.shape[1]
     if slab_ids is None:
         slab_ids = tuple(range(G))
-    kernel = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi, sig2)
+    if extra is None or np.prod(np.shape(extra)) == 0:
+        extra = jnp.zeros((1,), _F32)
+    extra = jnp.asarray(extra, _F32).reshape(-1)
+    kernel = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi, sig2,
+                          fmt, depth, rot)
 
     acc0 = jnp.concatenate([
         jnp.zeros((3, gi, gi), _F32), jnp.ones((1, gi, gi), _F32)])
@@ -351,7 +408,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
         acc = lax.cond(
             hit,
             lambda a: _chunk_call(kernel, ids_dev[c], params, qscale,
-                                  gplanar, zbounds, a, G, gi, Dp),
+                                  extra, gplanar, zbounds, a, G, gi, Dp),
             lambda a: a,
             acc)
         return c + 1, acc

@@ -177,14 +177,27 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
 
 
 def _pallas_ok(grid: DenseGrid, opt: RenderOptions) -> bool:
-    """Static check: can the fused Pallas march replace the XLA loop?"""
+    """Static check: can the fused Pallas march replace the XLA loop?
+
+    Covers SH (all degrees), SG, ASG, RGBA, depth mode, and rot_dirs —
+    the full reference feature surface (rt_core.cuh:122-124 depth,
+    volrend.cu:57-71 rodrigues, lumisphere.hpp SG/ASG)."""
     from volrend_tpu.ops import pallas_slab
-    return (pallas_slab.available()
-            and BasisType(grid.fmt) == BasisType.SH
-            and grid.basis_dim in (1, 4, 9, 16, 25)
-            and grid.data_dim == 3 * grid.basis_dim + 1
-            and not opt.render_depth
-            and _rodrigues(opt.rot_dirs) is None)
+    if not pallas_slab.available():
+        return False
+    bt = BasisType(grid.fmt)
+    if bt == BasisType.SH:
+        return (grid.basis_dim in (1, 4, 9, 16, 25)
+                and grid.data_dim == 3 * grid.basis_dim + 1)
+    if bt in (BasisType.SG, BasisType.ASG):
+        return (grid.basis_dim > 0
+                and grid.data_dim == 3 * grid.basis_dim + 1
+                and grid.extra is not None
+                and grid.extra.size
+                == grid.basis_dim * (4 if bt == BasisType.SG else 11))
+    if bt == BasisType.RGBA:
+        return grid.basis_dim < 0 and grid.data_dim == 4
+    return False
 
 
 def _permuted_grid(grid: DenseGrid, perm, use_pallas: bool):
@@ -333,10 +346,15 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         blo, bhi = opt.basis_minmax
         payload, _ = gdata
         slab_ids = grid.slab_ids(perm[0], flip, opt.sigma_thresh)
+        rotm = _rodrigues(opt.rot_dirs)
         acc4 = pallas_slab.march_slabs(
             payload, params, grid.qscale, zb, G, gi, D,
             grid.basis_dim, perm, slab_ids=slab_ids,
-            basis_lo=int(blo), basis_hi=int(bhi), sig2=grid.quantized)
+            basis_lo=int(blo), basis_hi=int(bhi), sig2=grid.quantized,
+            extra=grid.extra, fmt=int(grid.fmt),
+            depth=bool(opt.render_depth),
+            rot=(None if rotm is None
+                 else tuple(float(v) for v in rotm.reshape(-1))))
         acc = jnp.moveaxis(acc4[:3], 0, -1)             # (gi, gi, 3)
         T = acc4[3]
         stopped = T < _F32(opt.stop_thresh)
