@@ -95,3 +95,44 @@ def test_probe_endpoint(server, tmp_path):
     p.write_bytes(png)
     img = read_png(str(p))
     assert img.shape == (32, 32, 3)
+
+
+def test_ndc_camera_init():
+    """NDC mean-pose camera init (main.cpp:731-741): fixed canonical pose
+    + focal = ndc_focal * 0.25."""
+    from volrend_tpu.models.n3tree import NdcConfig
+    from volrend_tpu.ops.camera import ndc_camera
+    ndc = NdcConfig(width=1008.0, height=756.0, focal=800.0,
+                    avg_up=(0.1, 0.9, 0.2), avg_back=(0, 0, 1),
+                    avg_cen=(1, 2, 3))
+    cam = ndc_camera(ndc, width=640, height=480)
+    assert cam.fx == pytest.approx(200.0)
+    assert cam.fy == pytest.approx(200.0)
+    np.testing.assert_allclose(cam.center, [0, 0, 0])
+    np.testing.assert_allclose(cam.v_back, [0, 0, 1])
+    np.testing.assert_allclose(cam.origin, [0, 0, -3])
+    np.testing.assert_allclose(cam.v_world_up, [0, 1, 0])
+    assert cam.movement_speed == pytest.approx(0.1)
+    # orthonormal basis, right = up x back
+    R = cam.transform[:, :3]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-6)
+    # explicit fx wins over the ndc default
+    assert ndc_camera(ndc, fx=333.0).fx == pytest.approx(333.0)
+
+
+def test_viewer_ndc_tree_faces_scene(tmp_path):
+    """Viewer on an NDC tree opens with the mean-pose camera and renders
+    non-empty output."""
+    from volrend_tpu.models.n3tree import NdcConfig
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=7, sigma_scale=80.0)
+    tree.use_ndc = True
+    tree.ndc = NdcConfig(width=800.0, height=800.0, focal=1000.0)
+    state = ViewerState(tree, use_slab=False)
+    assert state.fixed_focal
+    assert state.cam.fx == pytest.approx(250.0)
+    img = state.render(64, 64)
+    p = tmp_path / "ndc.png"
+    p.write_bytes(img)
+    arr = read_png(str(p))
+    assert state.cam.fx == pytest.approx(250.0)  # render didn't clobber it
+    assert float(np.asarray(arr, np.float32).std()) > 1.0

@@ -187,6 +187,31 @@ def _axis_angle(axis, angle: float) -> np.ndarray:
             + (1 - np.cos(angle)) * np.outer(k, k))
 
 
+def ndc_camera(ndc, width: int = 800, height: int = 800,
+               fx: float = -1.0, fy: float = -1.0) -> "DragCamera":
+    """Initial camera for an NDC/LLFF scene (main.cpp:731-741).
+
+    In NDC space the mean training camera is at the origin looking down -z
+    (the warp is defined in the mean-pose frame), so the init is the fixed
+    pose center=(0,0,0), back=(0,0,1), world_up=(0,1,0), orbit pivot
+    origin=(0,0,-3); default focal = ndc.focal * 0.25. The ``ndc.avg_*``
+    fields (the mean pose in *world* coordinates, n3tree.cpp:21-52) supply
+    the orbit pivot direction hint; the reference parses but never reads
+    them — here they are kept for /info display and pivot sanity.
+    """
+    if fx <= 0:
+        fx = float(ndc.focal) * 0.25
+    if fy <= 0:
+        fy = fx
+    cam = DragCamera(width=width, height=height, fx=fx, fy=fy,
+                     movement_speed=0.1)
+    cam.origin = np.array([0.0, 0.0, -3.0], np.float32)
+    cam.v_world_up = np.array([0.0, 1.0, 0.0], np.float32)
+    cam.update_basis(v_back=np.array([0.0, 0.0, 1.0]),
+                     center=np.zeros(3))
+    return cam
+
+
 def opencv_to_nerf(transform: np.ndarray) -> np.ndarray:
     """Flip OpenCV camera axes to NeRF convention: negate y & z columns."""
     out = np.array(transform, np.float32).reshape(3, 4).copy()

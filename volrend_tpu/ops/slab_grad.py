@@ -380,7 +380,8 @@ _march_diff.defvjp(_march_fwd, _march_bwd)
 def render_frame_train(data, bmap: BakeMap, grid: DenseGrid, transform,
                        fx, fy, perm: Tuple[int, int, int], flip: bool,
                        width: int, height: int, opt: RenderOptions,
-                       gi: int = 512, use_custom_vjp: bool = True):
+                       gi: int = 512, use_custom_vjp: bool = True,
+                       cull: bool = False):
     """Differentiable (H, W, 4) render of one pose from leaf ``data``.
 
     data: (K, >=D) float32 trainable leaf payloads (flattened tree rows).
@@ -389,13 +390,20 @@ def render_frame_train(data, bmap: BakeMap, grid: DenseGrid, transform,
         ``bmap`` so gradients flow to the leaves.
     use_custom_vjp: False switches to plain autodiff through the scan
         (O(n_slabs) residual memory; for tests).
+    cull: skip slabs empty at *bake* time. Default False for training —
+        occupancy changes as ``data`` trains, and a culled slab can never
+        receive gradient, so density could not grow back into it.
     """
     opt = opt.replace(renormalize=False, render_depth=False)
     payload = bake_from_data(data.astype(_F32), bmap)
     pperm = jnp.transpose(payload, perm + (3,))
     geom = slab_render.FrameGeom(grid, transform, fx, fy, perm, flip,
                                  width, height, opt, gi)
-    ids = grid.slab_ids(perm[0], flip, float(opt.sigma_thresh))
+    if cull:
+        ids = grid.slab_ids(perm[0], flip, float(opt.sigma_thresh))
+    else:
+        order = range(grid.G - 1, -1, -1) if flip else range(grid.G)
+        ids = tuple(order)
     cfg = SlabCfg(G=grid.G, gi=gi, D=grid.data_dim, bd=grid.basis_dim,
                   fmt=int(grid.fmt), perm=perm, flip=flip, ids=ids, opt=opt)
     gm = dict(cz=geom.cz, cy=geom.cy, cx=geom.cx,
@@ -414,13 +422,57 @@ def render_frame_train(data, bmap: BakeMap, grid: DenseGrid, transform,
 
 def loss_and_grad_frame(data, bmap: BakeMap, grid: DenseGrid, transform,
                         fx, fy, perm, flip, width: int, height: int,
-                        target, opt: RenderOptions, gi: int = 512):
+                        target, opt: RenderOptions, gi: int = 512,
+                        cull: bool = False):
     """Mean-squared RGB pixel loss for one pose + its per-leaf gradients."""
 
     def loss_fn(d):
         out = render_frame_train(d, bmap, grid, transform, fx, fy, perm,
-                                 flip, width, height, opt, gi)
+                                 flip, width, height, opt, gi, cull=cull)
         diff = out[..., :3] - target[..., :3]
         return jnp.mean(diff * diff)
 
     return jax.value_and_grad(loss_fn)(data)
+
+
+def loss_and_grad_frames_sharded(data, bmap: BakeMap, grid: DenseGrid,
+                                 transforms, fx, fy, perm, flip,
+                                 width: int, height: int, targets,
+                                 opt: RenderOptions, mesh,
+                                 gi: int = 512, axis_name: str = "frames"):
+    """DP over poses: each device scans its local frame shard through the
+    slab VJP accumulating leaf grads, then ONE psum all-reduces (loss, grad)
+    over ICI — the frame-level analog of dist.loss_and_grad_sharded.
+
+    transforms: (F, 3, 4), targets: (F, H, W, 4), F divisible by the mesh
+    size; all poses must share (perm, flip) (group them like bench.py does).
+    Returns (loss, grad) replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+    n_total = transforms.shape[0]
+
+    def local(data_l, trs_l, tgts_l):
+        def body(g_sum, tr_tgt):
+            tr, tgt = tr_tgt
+
+            def loss_fn(d):
+                out = render_frame_train(d, bmap, grid, tr, fx, fy, perm,
+                                         flip, width, height, opt, gi)
+                diff = out[..., :3] - tgt[..., :3]
+                return jnp.sum(diff * diff) / (
+                    3.0 * width * height * n_total)
+
+            loss, g = jax.value_and_grad(loss_fn)(data_l)
+            return g_sum + g, loss
+
+        g, losses = lax.scan(body, jnp.zeros_like(data_l), (trs_l, tgts_l))
+        loss = lax.psum(jnp.sum(losses), axis_name)
+        g = lax.psum(g, axis_name)
+        return loss, g
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(data, jnp.asarray(transforms, _F32),
+              jnp.asarray(targets, _F32))

@@ -28,7 +28,7 @@ from volrend_tpu.models.n3tree import N3Tree, TreeArrays
 from volrend_tpu.ops import grad as grad_mod
 from volrend_tpu.utils.options import RenderOptions
 
-__all__ = ["Trainer", "psnr"]
+__all__ = ["Trainer", "FrameTrainer", "psnr"]
 
 
 def psnr(a, b) -> float:
@@ -71,12 +71,26 @@ class Trainer:
         self.step_count += 1
         return float(loss)
 
-    def step_sharded(self, mesh, origins, dirs, target) -> float:
-        """Multi-device step: rays sharded, grads psum-reduced over ICI."""
+    def shard_batch(self, mesh, origins, dirs, target):
+        """Pre-shard a ray batch onto the mesh (one host->device transfer);
+        pass the result to step_sharded to avoid a per-step round trip."""
         from volrend_tpu.parallel import dist
-        o, d, _ = dist.shard_rays(np.asarray(origins), np.asarray(dirs), mesh)
+        o, d, _ = dist.shard_rays(np.asarray(origins), np.asarray(dirs),
+                                  mesh)
         t, _, _ = dist.shard_rays(np.asarray(target),
                                   np.zeros_like(np.asarray(origins)), mesh)
+        return o, d, t
+
+    def step_sharded(self, mesh, origins, dirs, target) -> float:
+        """Multi-device step: rays sharded, grads psum-reduced over ICI.
+
+        Accepts host arrays (sharded here) or device arrays already placed
+        by ``shard_batch`` (no per-step host round trip)."""
+        from volrend_tpu.parallel import dist
+        if isinstance(origins, jax.Array) and isinstance(target, jax.Array):
+            o, d, t = origins, dirs, target
+        else:
+            o, d, t = self.shard_batch(mesh, origins, dirs, target)
         loss, g = dist.loss_and_grad_sharded(
             self.tree, self.data, o, d, t, self.opt, mesh)
         updates, self.opt_state = self.optimizer.update(
@@ -121,3 +135,87 @@ class Trainer:
         treedef = jax.tree_util.tree_structure(
             self.optimizer.init(self.data))
         self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+@partial(jax.jit, static_argnames=("fx", "fy", "perm", "flip", "width",
+                                   "height", "opt", "gi", "optimizer"))
+def _frame_step(data, opt_state, bmap, grid, transform, target,
+                fx, fy, perm, flip, width, height, opt, gi, optimizer):
+    from volrend_tpu.ops import slab_grad
+    loss, g = slab_grad.loss_and_grad_frame(
+        data, bmap, grid, transform, fx, fy, perm, flip, width, height,
+        target, opt, gi=gi)
+    updates, opt_state = optimizer.update(g, opt_state, data)
+    return optax.apply_updates(data, updates), opt_state, loss
+
+
+@partial(jax.jit, static_argnames=("fx", "fy", "perm", "flip", "width",
+                                   "height", "opt", "gi", "optimizer",
+                                   "mesh"))
+def _frame_step_sharded(data, opt_state, bmap, grid, transforms, targets,
+                        fx, fy, perm, flip, width, height, opt, gi,
+                        optimizer, mesh):
+    from volrend_tpu.ops import slab_grad
+    loss, g = slab_grad.loss_and_grad_frames_sharded(
+        data, bmap, grid, transforms, fx, fy, perm, flip, width, height,
+        targets, opt, mesh, gi=gi)
+    updates, opt_state = optimizer.update(g, opt_state, data)
+    return optax.apply_updates(data, updates), opt_state, loss
+
+
+class FrameTrainer(Trainer):
+    """Trains leaf payloads through the FAST slab path (``ops/slab_grad``):
+    whole-frame supervision, gradients flowing leaf -> baked grid -> slab
+    march -> pixels. This is training at rendering speed — the per-sample
+    octree-gather path the base Trainer uses measures ~80 Mrows/s of
+    gathers on v5e, while the slab VJP re-streams the dense grid.
+
+    Checkpoint/export inherit from Trainer (same ``data`` layout).
+    """
+
+    def __init__(self, tree: TreeArrays, opt: Optional[RenderOptions] = None,
+                 optimizer=None, lr: float = 1e-2, G: Optional[int] = None,
+                 gi: int = 512):
+        from volrend_tpu.ops import dense_grid, slab_grad
+        super().__init__(tree, opt, optimizer, lr)
+        self.gi = gi
+        self.grid = dense_grid.bake_dense(tree, G=G)
+        self.bmap = slab_grad.build_bake_map(tree, G=G)
+
+    def _group(self, cam):
+        from volrend_tpu.ops import slab_render
+        perm, flip, slope = slab_render.choose_axis(
+            self.grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
+        if not np.isfinite(slope):
+            raise ValueError("pose not slab-renderable; use Trainer.step")
+        return perm, flip
+
+    def step_frame(self, cam, target) -> float:
+        """One SGD step on a full frame; returns the loss."""
+        perm, flip = self._group(cam)
+        self.data, self.opt_state, loss = _frame_step(
+            self.data, self.opt_state, self.bmap, self.grid,
+            jnp.asarray(cam.transform), jnp.asarray(target),
+            float(cam.fx), float(cam.fy), perm, flip,
+            cam.width, cam.height, self.opt, self.gi, self.optimizer)
+        self.step_count += 1
+        return float(loss)
+
+    def step_frames_sharded(self, mesh, cams, targets) -> float:
+        """Multi-device step: poses sharded over the mesh, leaf grads
+        psum-reduced (one collective). All cams must share (perm, flip) and
+        (fx, fy, W, H); len(cams) divisible by the mesh size."""
+        groups = {self._group(c) for c in cams}
+        if len(groups) != 1:
+            raise ValueError(f"poses span {len(groups)} (perm, flip) "
+                             "groups; shard each group separately")
+        (perm, flip), = groups
+        cam = cams[0]
+        trs = np.stack([c.transform for c in cams])
+        self.data, self.opt_state, loss = _frame_step_sharded(
+            self.data, self.opt_state, self.bmap, self.grid,
+            jnp.asarray(trs), jnp.asarray(np.stack(targets)),
+            float(cam.fx), float(cam.fy), perm, flip,
+            cam.width, cam.height, self.opt, self.gi, self.optimizer, mesh)
+        self.step_count += 1
+        return float(loss)

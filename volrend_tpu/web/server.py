@@ -163,10 +163,17 @@ class ViewerState:
         self.dev = tree.to_device(lut_depth=None)
         self.meshes = list(meshes or [])
         self.opt = RenderOptions(max_steps=2048)
-        self.cam = DragCamera(width=640, height=640, fx=300.0)
-        self.cam.update_basis(
-            v_back=np.array([-0.7071, 0.0, 0.7071]),
-            center=np.array([-3.55, 0.0, 3.55]) / max(tree.scale))
+        if tree.use_ndc and tree.ndc is not None:
+            # LLFF/NDC scene: mean-pose camera init (main.cpp:731-741)
+            from volrend_tpu.ops.camera import ndc_camera
+            self.cam = ndc_camera(tree.ndc, width=640, height=640)
+            self.fixed_focal = True
+        else:
+            self.cam = DragCamera(width=640, height=640, fx=300.0)
+            self.cam.update_basis(
+                v_back=np.array([-0.7071, 0.0, 0.7071]),
+                center=np.array([-3.55, 0.0, 3.55]) / max(tree.scale))
+            self.fixed_focal = False
         self.grid = None
         if use_slab:
             try:
@@ -180,7 +187,8 @@ class ViewerState:
     def render(self, w: int, h: int) -> bytes:
         with self.lock:
             self.cam.width, self.cam.height = w, h
-            self.cam.fx = self.cam.fy = 0.55 * max(w, h) / np.tan(0.35)
+            if not self.fixed_focal:
+                self.cam.fx = self.cam.fy = 0.55 * max(w, h) / np.tan(0.35)
             any_mesh = any(m.visible for m in self.meshes) or \
                 self.opt.show_grid
             img = None
@@ -241,6 +249,11 @@ class ViewerState:
                 if isinstance(v, (int, float, bool))},
             "meshes": [{"name": m.name, "visible": bool(m.visible)}
                        for m in self.meshes],
+            "ndc": (None if not self.tree.use_ndc or self.tree.ndc is None
+                    else {"focal": float(self.tree.ndc.focal),
+                          "avg_up": list(self.tree.ndc.avg_up),
+                          "avg_back": list(self.tree.ndc.avg_back),
+                          "avg_cen": list(self.tree.ndc.avg_cen)}),
         }
 
 
