@@ -38,9 +38,8 @@ def main():
     dev = tree.to_device(lut_depth=None)
     opt = RenderOptions(max_steps=1024)
 
-    for dtype in ("int8", "bf16"):
-        grid = dense_grid.bake_dense(
-            dev, dtype=("int8" if dtype == "int8" else None))
+    for dtype in ("int8", "f16"):
+        grid = dense_grid.bake_dense(dev, dtype=dtype)
         G = grid.G
         cams = bench_mod.orbit_poses(12)
         cam = cams[0]

@@ -124,10 +124,12 @@ def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
 def _make_kernel(G: int, gi: int, D: int, bd: int,
                  perm: Tuple[int, int, int], basis_lo: int, basis_hi: int,
                  sig2: bool, fmt: int, depth: bool,
-                 rot: Optional[Tuple[float, ...]]):
+                 rot: Optional[Tuple[float, ...]], K: int, flip: bool):
     slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}  # tree axis -> permuted slot
     from volrend_tpu.models.data_format import BasisType
     bt = BasisType(fmt)
+    # march order inside a K-aligned window
+    dz_order = range(K - 1, -1, -1) if flip else range(K)
 
     def kernel(ids_ref, params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
                accin_ref, acc_ref):
@@ -137,10 +139,12 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
         def _init():
             acc_ref[...] = accin_ref[...]
 
-        sid = ids_ref[i]
+        wid = ids_ref[2 * i]        # window index (block = K slabs), or -1
+        wmask = ids_ref[2 * i + 1]  # bit dz set = slab wid*K+dz occupied
 
-        @pl.when(sid >= 0)
-        def _body():
+        def _slab(wid, wmask, dzi):
+            sid = wid * K + dzi
+            occupied = (wmask >> dzi) & 1
             p = params_ref
             cz, cy, cx = p[0], p[1], p[2]
             u0, du, v0, dv = p[3], p[4], p[5], p[6]
@@ -166,20 +170,21 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
 
             if sig2:
                 # 14-bit fixed-point sigma split across two int8 planes
-                sigma = (slab_ref[0, D - 1].astype(_F32) * 128.0
-                         + slab_ref[0, D].astype(_F32)) \
+                sigma = (slab_ref[dzi, D - 1].astype(_F32) * 128.0
+                         + slab_ref[dzi, D].astype(_F32)) \
                     * qs_ref[D - 1]
             else:
-                sigma = slab_ref[0, D - 1].astype(_F32) * qs_ref[D - 1]
+                sigma = slab_ref[dzi, D - 1].astype(_F32) * qs_ref[D - 1]
             ok = ((sigma > sigma_thresh)
-                  & (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2))
+                  & (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2)
+                  & (occupied > 0))
             sigma = jnp.where(ok, sigma, 0.0)
 
             if depth:
                 srgb = None
             elif bd < 0:
                 # RGBA payload: raw colors, no basis
-                srgb = [sigma * slab_ref[0, c].astype(_F32) * qs_ref[c]
+                srgb = [sigma * slab_ref[dzi, c].astype(_F32) * qs_ref[c]
                         for c in range(3)]
             else:
                 # per-voxel world view direction -> basis shading
@@ -223,7 +228,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                         continue
                     for c in range(3):
                         raw[c] = raw[c] + (
-                            slab_ref[0, c * bd + k].astype(_F32)
+                            slab_ref[dzi, c * bd + k].astype(_F32)
                             * qs_ref[c * bd + k]) * bk
                 srgb = [sigma * jax.nn.sigmoid(r) for r in raw]
 
@@ -300,21 +305,31 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     acc_ref[c] = acc_ref[c] + wn * srgb_w[c]
             acc_ref[3] = jnp.where(m, T * att, T)
 
+        @pl.when(wid >= 0)
+        def _body():
+            for dzi in dz_order:
+                _slab(wid, wmask, dzi)
+
     return kernel
 
 
 def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
-                acc, G: int, gi: int, Dp: int):
-    """One chunked kernel dispatch over _CHUNK slabs (ids < 0 are skipped)."""
+                acc, G: int, gi: int, Dp: int, K: int):
+    """One chunked kernel dispatch over a window chunk.
+
+    ids_chunk: (2*W,) int32 interleaved (window_id, occupancy_mask) pairs;
+    window_id < 0 = padding (skipped). Each grid step streams one K-slab
+    block and marches its occupied slabs in order."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ids_chunk.shape[0],),
+        grid=(ids_chunk.shape[0] // 2,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Dp, G, G),
-                         lambda i, ids: (jnp.maximum(ids[i], 0), 0, 0, 0)),
+            pl.BlockSpec((K, Dp, G, G),
+                         lambda i, ids: (jnp.maximum(ids[2 * i], 0),
+                                         0, 0, 0)),
             pl.BlockSpec((2, gi, gi), lambda i, ids: (0, 0, 0)),
             pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
         ],
@@ -332,14 +347,15 @@ def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
 
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
                                    "basis_lo", "basis_hi", "sig2", "fmt",
-                                   "depth", "rot"))
+                                   "depth", "rot", "flip", "k_per_step"))
 def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 gi: int, D: int, bd: int,
                 perm: Tuple[int, int, int],
                 slab_ids: Optional[Tuple[int, ...]] = None,
                 basis_lo: int = 0, basis_hi: int = 24, sig2: bool = False,
                 extra=None, fmt: int = 1, depth: bool = False,
-                rot: Optional[Tuple[float, ...]] = None):
+                rot: Optional[Tuple[float, ...]] = None,
+                flip: bool = False, k_per_step: int = 4):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
     gplanar: (G, Dp, G, G) channel-planar permuted grid — bf16 payload
@@ -351,6 +367,10 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     slab_ids: static tuple of slab z-indices in march order (front to back
         along the ray), pre-culled of empty slabs by the caller; None means
         all G slabs in ascending order.
+    flip: True when the march runs toward -z (descending slab ids).
+    k_per_step: slabs fetched + marched per grid step (K-aligned windows);
+        amortizes per-step overhead and lets Mosaic keep the accumulator
+        chain fused across K composite updates.
     """
     Dp = gplanar.shape[1]
     if slab_ids is None:
@@ -358,25 +378,46 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     if extra is None or np.prod(np.shape(extra)) == 0:
         extra = jnp.zeros((1,), _F32)
     extra = jnp.asarray(extra, _F32).reshape(-1)
+    K = max(1, min(k_per_step, G))
+    while G % K:
+        K -= 1
     kernel = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi, sig2,
-                          fmt, depth, rot)
+                          fmt, depth, rot, K, flip)
 
     acc0 = jnp.concatenate([
         jnp.zeros((3, gi, gi), _F32), jnp.ones((1, gi, gi), _F32)])
     if not slab_ids:
         return acc0
 
-    ids = np.asarray(slab_ids, np.int32)
-    n_chunks = -(-len(ids) // _CHUNK)
-    ids_pad = np.full(n_chunks * _CHUNK, -1, np.int32)
-    ids_pad[:len(ids)] = ids
-    ids_mat = ids_pad.reshape(n_chunks, _CHUNK)
+    # group march-ordered slab ids into K-aligned windows (+ bit masks)
+    win_order, win_mask = [], {}
+    for sid in slab_ids:
+        w = sid // K
+        if w not in win_mask:
+            win_mask[w] = 0
+            win_order.append(w)
+        win_mask[w] |= 1 << (sid % K)
+    wins = np.asarray(win_order, np.int32)
+    masks = np.asarray([win_mask[w] for w in win_order], np.int32)
+
+    wpc = max(1, _CHUNK // K)                   # windows per chunk
+    n_chunks = -(-len(wins) // wpc)
+    pad = n_chunks * wpc
+    wins_pad = np.full(pad, -1, np.int32)
+    wins_pad[:len(wins)] = wins
+    masks_pad = np.zeros(pad, np.int32)
+    masks_pad[:len(wins)] = masks
+    # interleave (wid, mask) pairs: (n_chunks, 2*wpc)
+    ids_mat = np.stack([wins_pad, masks_pad], -1).reshape(n_chunks, 2 * wpc)
+
     # static per-chunk and remaining-suffix z coverage, for dynamic skipping
-    zs = (ids_mat.astype(np.float64) + 0.5) / G
-    zs = np.where(ids_mat >= 0, zs, np.nan)
+    wm = wins_pad.reshape(n_chunks, wpc).astype(np.float64)
+    zlo_w = np.where(wm >= 0, (wm * K + 0.5) / G, np.nan)
+    zhi_w = np.where(wm >= 0, (wm * K + K - 0.5) / G, np.nan)
     with np.errstate(invalid="ignore"):
-        czmin = np.where(np.all(np.isnan(zs), 1), np.inf, np.nanmin(zs, 1))
-        czmax = np.where(np.all(np.isnan(zs), 1), -np.inf, np.nanmax(zs, 1))
+        empty = np.all(np.isnan(zlo_w), 1)
+        czmin = np.where(empty, np.inf, np.nanmin(zlo_w, 1))
+        czmax = np.where(empty, -np.inf, np.nanmax(zhi_w, 1))
     rem_zmin = np.minimum.accumulate(czmin[::-1])[::-1]
     rem_zmax = np.maximum.accumulate(czmax[::-1])[::-1]
     czmin_d = jnp.asarray(czmin, _F32)
@@ -408,7 +449,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
         acc = lax.cond(
             hit,
             lambda a: _chunk_call(kernel, ids_dev[c], params, qscale,
-                                  extra, gplanar, zbounds, a, G, gi, Dp),
+                                  extra, gplanar, zbounds, a, G, gi, Dp, K),
             lambda a: a,
             acc)
         return c + 1, acc

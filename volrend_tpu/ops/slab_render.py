@@ -354,7 +354,8 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
             extra=grid.extra, fmt=int(grid.fmt),
             depth=bool(opt.render_depth),
             rot=(None if rotm is None
-                 else tuple(float(v) for v in rotm.reshape(-1))))
+                 else tuple(float(v) for v in rotm.reshape(-1))),
+            flip=flip)
         acc = jnp.moveaxis(acc4[:3], 0, -1)             # (gi, gi, 3)
         T = acc4[3]
         stopped = T < _F32(opt.stop_thresh)
