@@ -136,3 +136,96 @@ def test_viewer_ndc_tree_faces_scene(tmp_path):
     arr = read_png(str(p))
     assert state.cam.fx == pytest.approx(250.0)  # render didn't clobber it
     assert float(np.asarray(arr, np.float32).std()) > 1.0
+
+
+def test_mesh_transform_endpoints(server):
+    """The ImGuizmo manipulation surface (main.cpp:238-413): per-mesh
+    translate/rotate/scale/unlit + delete via POST /mesh."""
+    base, state = server
+    _post(base + "/mesh", {"name": "Cube", "translation": [0.1, 0.2, 0.3],
+                           "rotation": [0.0, 0.5, 0.0], "scale": 1.5,
+                           "unlit": True, "visible": True})
+    m = next(mm for mm in state.meshes if mm.name == "Cube")
+    np.testing.assert_allclose(m.translation, [0.1, 0.2, 0.3])
+    np.testing.assert_allclose(m.rotation, [0.0, 0.5, 0.0])
+    assert m.scale == 1.5 and m.unlit and m.visible
+    info = json.loads(_get(base + "/info"))
+    mi = next(mm for mm in info["meshes"] if mm["name"] == "Cube")
+    assert mi["scale"] == 1.5 and mi["unlit"]
+
+    # add a primitive, then delete it
+    out = json.loads(_post(base + "/mesh/add", {"type": "sphere"}))
+    assert out["name"] == "Sphere"
+    assert any(mm.name == "Sphere" for mm in state.meshes)
+    _post(base + "/mesh", {"name": "Sphere", "delete": True})
+    assert not any(mm.name == "Sphere" for mm in state.meshes)
+
+
+def test_probe_and_camera_keys(server):
+    base, state = server
+    # probe keys only act when the probe is enabled (main.cpp:519)
+    _post(base + "/options", {"enable_probe": True, "probe": [0, 0, 1]})
+    p0 = np.asarray(state.opt.probe)
+    _post(base + "/event", {"type": "key", "key": "l"})
+    _post(base + "/event", {"type": "key", "key": "i", "shift": True})
+    p1 = np.asarray(state.opt.probe)
+    assert p1[0] > p0[0]
+    assert p1[1] - p0[1] > 5 * (p1[0] - p0[0]) - 1e-9  # shift = 5x
+    # focal keys
+    f0 = state.cam.fx
+    _post(base + "/event", {"type": "key", "key": "-"})
+    assert state.cam.fx < f0
+    _post(base + "/event", {"type": "key", "key": "0"})
+    from volrend_tpu.ops.camera import DEFAULT_FOCAL
+    assert state.cam.fx == DEFAULT_FOCAL
+    # world_up presets (main.cpp:546-570)
+    _post(base + "/event", {"type": "key", "key": "3"})
+    np.testing.assert_allclose(state.cam.v_world_up, [0, 1, 0])
+    _post(base + "/event", {"type": "key", "key": "1"})
+    np.testing.assert_allclose(state.cam.v_world_up, [0, 0, 1])
+    _post(base + "/options", {"enable_probe": False})
+
+
+def test_runtime_asset_loading(server, tmp_path):
+    """Runtime tree/drawlist/obj loading via upload bytes and server path
+    (web/main_web.cpp:139-294 analog)."""
+    base, state = server
+    # tree upload (bytes)
+    t2 = make_test_tree(max_depth=3, basis_dim=1, seed=9, sigma_scale=70.0)
+    p = tmp_path / "t2.npz"
+    t2.save_npz(str(p))
+    with open(p, "rb") as f:
+        raw = f.read()
+    import urllib.request
+    req = urllib.request.Request(base + "/upload?kind=tree", data=raw,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert out["loaded"] == "tree"
+    assert state.tree.data_dim == t2.data_dim
+
+    # drawlist via server-side path
+    draw = {"mycube": np.array(["cube"]),
+            "mycube__color": np.array([1.0, 0.0, 0.0], np.float32)}
+    dp = tmp_path / "draw.npz"
+    np.savez(str(dp), **draw)
+    out = json.loads(_post(base + "/load",
+                           {"kind": "drawlist", "path": str(dp)}))
+    assert out["meshes"] == ["mycube"]
+    assert any(m.name == "mycube" for m in state.meshes)
+
+    # obj upload
+    obj = b"v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n"
+    req = urllib.request.Request(base + "/upload?kind=obj", data=obj,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert out["loaded"] == "obj"
+
+
+def test_viewer_page_has_touch_and_mesh_ui(server):
+    base, _ = server
+    html = _get(base + "/").decode()
+    for needle in ("touchstart", "touchmove", "touchend", "uploadAsset",
+                   "addMesh", "meshVec"):
+        assert needle in html, needle

@@ -9,13 +9,21 @@ the reference drag semantics (DragCamera), get/set RenderOptions, mesh
 layer visibility, FPS readout.
 
 Endpoints:
-  GET  /                     viewer page
-  GET  /info                 tree metadata + mesh layers + options
-  GET  /frame?w=&h=&q=       current-state render as PNG (q = jpeg-ish
-                             downscale factor for interactivity)
+  GET  /                     viewer page (mouse + touch/pinch input)
+  GET  /info                 tree metadata + mesh layers/transforms + options
+  GET  /frame?w=&h=          current-state render as PNG
+  GET  /probe?x=&y=&z=       lumisphere probe ball PNG
   POST /event                {type: down|move|up|wheel|key, ...} input
+                             (keys: wasdqe camera, ijkluo probe, -/=/0
+                             focal, 1-6 world_up presets; main.cpp:452-573)
   POST /options              partial RenderOptions update
-  POST /mesh                 {name, visible} layer toggle
+  POST /mesh                 {name, visible?, unlit?, translation?,
+                             rotation?, scale?, delete?} — the ImGuizmo
+                             manipulation surface (main.cpp:238-413)
+  POST /mesh/add             {type: sphere|cube|lattice} primitive
+  POST /load                 {kind, path} server-side runtime asset load
+  POST /upload?kind=         raw tree/drawlist/obj bytes from the browser
+                             (web/main_web.cpp:139-294 analog)
 """
 
 from __future__ import annotations
@@ -61,6 +69,21 @@ label { user-select:none }
   <div id="opts"></div>
   <h3>Layers</h3>
   <div id="layers"></div>
+  <h3>Add / load</h3>
+  <div class="row">
+    <button onclick="addMesh('sphere')">+sphere</button>
+    <button onclick="addMesh('cube')">+cube</button>
+    <button onclick="addMesh('lattice')">+lattice</button>
+  </div>
+  <div class="row"><label>tree</label>
+    <input type="file" style="width:150px"
+     onchange="uploadAsset('tree', this)"></div>
+  <div class="row"><label>drawlist</label>
+    <input type="file" style="width:150px"
+     onchange="uploadAsset('drawlist', this)"></div>
+  <div class="row"><label>obj</label>
+    <input type="file" style="width:150px"
+     onchange="uploadAsset('obj', this)"></div>
   <h3>Lumisphere probe</h3>
   <div class="row">
     <input id="px" type="number" value="0" step="0.1" style="width:55px">
@@ -111,9 +134,45 @@ canvas.addEventListener('wheel', e => {
   post('/event', {type:'wheel', dy: e.deltaY});
 });
 window.addEventListener('keydown', e => {
+  if (e.target.tagName === 'INPUT') return;
   const k = e.key.toLowerCase();
-  if ('wasdqe'.includes(k)) post('/event', {type:'key', key:k});
+  if ('wasdqeijkluo-=0123456'.includes(k) && k.length === 1)
+    post('/event', {type:'key', key:k, shift: e.shiftKey});
 });
+// touch + pinch (reference web/js/init.js): 1 finger orbit, 2 pinch-zoom
+let touches = null;
+function tpos(t) {
+  const r = canvas.getBoundingClientRect();
+  return [t.clientX - r.left, t.clientY - r.top];
+}
+canvas.addEventListener('touchstart', e => {
+  e.preventDefault();
+  touches = e.touches;
+  if (e.touches.length === 1) {
+    const [x, y] = tpos(e.touches[0]);
+    post('/event', {type:'down', x, y, pan:false, about_origin:true});
+  } else {
+    post('/event', {type:'up'});
+  }
+}, {passive:false});
+canvas.addEventListener('touchmove', e => {
+  e.preventDefault();
+  if (e.touches.length === 1) {
+    const [x, y] = tpos(e.touches[0]);
+    post('/event', {type:'move', x, y});
+  } else if (e.touches.length === 2 && touches &&
+             touches.length === 2) {
+    const d = (ts) => Math.hypot(
+      ts[0].clientX - ts[1].clientX, ts[0].clientY - ts[1].clientY);
+    post('/event', {type:'wheel', dy: d(touches) - d(e.touches)});
+  }
+  touches = e.touches;
+}, {passive:false});
+canvas.addEventListener('touchend', e => {
+  e.preventDefault();
+  touches = null;
+  post('/event', {type:'up'});
+}, {passive:false});
 async function probe() {
   const v = k => document.getElementById(k).value;
   const r = await fetch(`/probe?x=${v('px')}&y=${v('py')}&z=${v('pz')}`);
@@ -142,14 +201,51 @@ async function init() {
      <input type="checkbox" onchange="post('/options',
       {show_grid: this.checked})"></div>`);
   const ld = document.getElementById('layers');
+  ld.innerHTML = '';
   for (const m of info.meshes) {
+    const v3 = (k, vals, step) => vals.map((v, i) =>
+      `<input type="number" value="${v}" step="${step}" style="width:48px"
+        onchange="meshVec('${m.name}','${k}',this.parentElement)">`).join('');
     ld.insertAdjacentHTML('beforeend',
-      `<div class="row"><label>${m.name}</label>
-       <input type="checkbox" ${m.visible ? 'checked' : ''}
-        onchange="post('/mesh', {name:'${m.name}',
-                  visible:this.checked})"></div>`);
+      `<details class="mesh" data-name="${m.name}"><summary>${m.name}
+        <input type="checkbox" ${m.visible ? 'checked' : ''}
+         onclick="event.stopPropagation()"
+         onchange="post('/mesh', {name:'${m.name}',
+                   visible:this.checked})"></summary>
+       <div class="row"><label>trans</label>
+        <span data-k="translation">${v3('translation', m.translation,
+                                        0.05)}</span></div>
+       <div class="row"><label>rot</label>
+        <span data-k="rotation">${v3('rotation', m.rotation,
+                                     0.1)}</span></div>
+       <div class="row"><label>scale</label>
+        <input type="number" value="${m.scale}" step="0.05"
+         style="width:60px" onchange="post('/mesh',
+          {name:'${m.name}', scale:+this.value})"></div>
+       <div class="row">
+        <label><input type="checkbox" ${m.unlit ? 'checked' : ''}
+         onchange="post('/mesh', {name:'${m.name}',
+                   unlit:this.checked})"> unlit</label>
+        <button onclick="post('/mesh', {name:'${m.name}', delete:true});
+                setTimeout(init, 150)">delete</button></div>
+      </details>`);
   }
   refresh();
+}
+function meshVec(name, key, span) {
+  const vals = [...span.querySelectorAll('input')].map(i => +i.value);
+  post('/mesh', {name, [key]: vals});
+}
+async function addMesh(type) {
+  await fetch('/mesh/add', {method:'POST',
+                            body: JSON.stringify({type})});
+  init();
+}
+async function uploadAsset(kind, input) {
+  if (!input.files.length) return;
+  const buf = await input.files[0].arrayBuffer();
+  await fetch(`/upload?kind=${kind}`, {method:'POST', body: buf});
+  init();
 }
 init();
 </script></body></html>
@@ -174,6 +270,7 @@ class ViewerState:
                 v_back=np.array([-0.7071, 0.0, 0.7071]),
                 center=np.array([-3.55, 0.0, 3.55]) / max(tree.scale))
             self.fixed_focal = False
+        self.use_slab = use_slab
         self.grid = None
         if use_slab:
             try:
@@ -223,12 +320,138 @@ class ViewerState:
                 c = self.cam.center - self.cam.origin
                 self.cam.update_basis(center=self.cam.origin + c * sp)
             elif t == "key":
-                step = 0.1
-                moves = {"w": -self.cam.v_back, "s": self.cam.v_back,
-                         "a": -self.cam.v_right, "d": self.cam.v_right,
-                         "q": -self.cam.v_up, "e": self.cam.v_up}
-                if ev.get("key") in moves:
-                    self.cam.move(moves[ev["key"]] * step)
+                self._handle_key(ev)
+
+    def _handle_key(self, ev: dict) -> None:
+        """Keyboard surface of the reference GUI (main.cpp:452-573):
+        WASDQE camera moves, IJKLUO probe moves, -/= /0 focal zoom,
+        1-6 world_up presets; shift = 5x speed."""
+        key = str(ev.get("key", "")).lower()
+        mult = 5.0 if ev.get("shift") else 1.0
+        step = 0.1 * mult
+        moves = {"w": -self.cam.v_back, "s": self.cam.v_back,
+                 "a": -self.cam.v_right, "d": self.cam.v_right,
+                 "q": -self.cam.v_up, "e": self.cam.v_up}
+        if key in moves:
+            self.cam.move(moves[key] * step)
+        elif key in "ijkluo" and key and self.opt.enable_probe:
+            # probe moves (main.cpp:519-531): l/j = +/-x, i/k = +/-y,
+            # o/u = +/-z
+            sp = 0.02 * mult
+            dim = {"j": 0, "l": 0, "i": 1, "k": 1, "u": 2, "o": 2}[key]
+            if key in "jku":
+                sp = -sp
+            p = list(self.opt.probe)
+            p[dim] += sp
+            self.opt = self.opt.replace(probe=tuple(p))
+        elif key == "-":
+            self.cam.fx *= 0.99
+            self.cam.fy *= 0.99
+            self.fixed_focal = True
+        elif key == "=":
+            self.cam.fx *= 1.01
+            self.cam.fy *= 1.01
+            self.fixed_focal = True
+        elif key == "0":
+            from volrend_tpu.ops.camera import DEFAULT_FOCAL
+            self.cam.fx = self.cam.fy = DEFAULT_FOCAL
+            self.fixed_focal = True
+        elif key in "123456":
+            ups = {"1": (0, 0, 1), "2": (0, 0, -1), "3": (0, 1, 0),
+                   "4": (0, -1, 0), "5": (1, 0, 0), "6": (-1, 0, 0)}
+            self.cam.v_world_up = np.asarray(ups[key], np.float32)
+            self.cam.update_basis()
+
+    # -- mesh manipulation (the ImGuizmo surface, main.cpp:238-413) ---------
+
+    def update_mesh(self, body: dict) -> bool:
+        """Set per-mesh transform/appearance or delete (main.cpp:290-300)."""
+        with self.lock:
+            for i, m in enumerate(self.meshes):
+                if m.name != body.get("name"):
+                    continue
+                if body.get("delete"):
+                    del self.meshes[i]
+                    return True
+                if "visible" in body:
+                    m.visible = bool(body["visible"])
+                if "unlit" in body:
+                    m.unlit = bool(body["unlit"])
+                if "translation" in body:
+                    m.translation = np.asarray(body["translation"],
+                                               np.float32)
+                if "rotation" in body:
+                    m.rotation = np.asarray(body["rotation"], np.float32)
+                if "scale" in body:
+                    m.scale = float(body["scale"])
+                return True
+        return False
+
+    def add_mesh(self, body: dict) -> str:
+        """Add a primitive like the GUI buttons (main.cpp:322-413)."""
+        kind = body.get("type", "sphere")
+        with self.lock:
+            if kind == "sphere":
+                m = Mesh.Sphere()
+                m.scale, m.translation = 0.1, np.array([0, 0, 1.0],
+                                                       np.float32)
+            elif kind == "cube":
+                m = Mesh.Cube()
+                m.scale, m.translation = 0.2, np.array([0, 0, 1.0],
+                                                       np.float32)
+            elif kind == "lattice":
+                m = Mesh.Lattice()
+            else:
+                raise ValueError(f"unknown primitive {kind!r}")
+            names = {mm.name for mm in self.meshes}
+            base = body.get("name") or kind.capitalize()
+            name, k = base, 0
+            while name in names:
+                k += 1
+                name = f"{base}{k}"
+            m.name = name
+            self.meshes.append(m)
+            return name
+
+    # -- runtime asset loading (web/main_web.cpp:139-294 analog) ------------
+
+    def load_asset(self, kind: str, data: Optional[bytes] = None,
+                   path: Optional[str] = None) -> dict:
+        """Load a tree / drawlist / OBJ at runtime, from raw bytes (browser
+        upload) or a server-side path."""
+        from volrend_tpu.models import mesh as mesh_mod
+        if kind == "tree":
+            tree = N3Tree()
+            if data is not None:
+                tree.open_mem(data)
+            else:
+                tree.open(path)
+            with self.lock:
+                self.tree = tree
+                self.dev = tree.to_device(lut_depth=None)
+                self.grid = None
+                if self.use_slab:
+                    try:
+                        from volrend_tpu.ops import dense_grid
+                        self.grid = dense_grid.bake_dense(self.dev)
+                    except Exception:
+                        self.grid = None
+            return {"loaded": "tree", "data_dim": tree.data_dim}
+        if kind == "drawlist":
+            new = mesh_mod.open_drawlist(data if data is not None else path)
+            with self.lock:
+                self.meshes.extend(new)
+            return {"loaded": "drawlist",
+                    "meshes": [m.name for m in new]}
+        if kind == "obj":
+            if data is not None:
+                m = mesh_mod.load_basic_obj(data.decode(), from_string=True)
+            else:
+                m = mesh_mod.load_basic_obj(path)
+            with self.lock:
+                self.meshes.append(m)
+            return {"loaded": "obj", "meshes": [m.name]}
+        raise ValueError(f"unknown asset kind {kind!r}")
 
     def probe(self, point, size: int = 100) -> bytes:
         """Lumisphere probe ball (the reference GUI's inset display)."""
@@ -247,7 +470,11 @@ class ViewerState:
             "options": {k: v for k, v in dataclasses.asdict(
                 self.opt).items()
                 if isinstance(v, (int, float, bool))},
-            "meshes": [{"name": m.name, "visible": bool(m.visible)}
+            "meshes": [{"name": m.name, "visible": bool(m.visible),
+                        "unlit": bool(m.unlit),
+                        "translation": [float(v) for v in m.translation],
+                        "rotation": [float(v) for v in m.rotation],
+                        "scale": float(m.scale)}
                        for m in self.meshes],
             "ndc": (None if not self.tree.use_ndc or self.tree.ndc is None
                     else {"focal": float(self.tree.ndc.focal),
@@ -311,19 +538,49 @@ def make_handler(state: ViewerState):
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(n) or b"{}")
-            if self.path == "/event":
+            raw = self.rfile.read(n) if n else b""
+            u = urlparse(self.path)
+            if u.path == "/upload":
+                # raw asset bytes from the browser (runtime loading,
+                # web/main_web.cpp:139-294 analog)
+                q = parse_qs(u.query)
+                kind = q.get("kind", ["tree"])[0]
+                try:
+                    out = state.load_asset(kind, data=raw)
+                except Exception as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+                    return
+                self._send(200, json.dumps(out).encode())
+                return
+            body = json.loads(raw or b"{}")
+            if u.path == "/event":
                 state.handle_event(body)
-            elif self.path == "/options":
+            elif u.path == "/options":
                 with state.lock:
                     state.opt = state.opt.replace(**{
                         k: (tuple(v) if isinstance(v, list) else v)
                         for k, v in body.items()})
-            elif self.path == "/mesh":
-                with state.lock:
-                    for m in state.meshes:
-                        if m.name == body.get("name"):
-                            m.visible = bool(body.get("visible", True))
+            elif u.path == "/mesh":
+                if not state.update_mesh(body):
+                    self._send(404, b'{"error": "no such mesh"}')
+                    return
+            elif u.path == "/mesh/add":
+                try:
+                    name = state.add_mesh(body)
+                except ValueError as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+                    return
+                self._send(200, json.dumps({"name": name}).encode())
+                return
+            elif u.path == "/load":
+                try:
+                    out = state.load_asset(body.get("kind", "tree"),
+                                           path=body.get("path"))
+                except Exception as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+                    return
+                self._send(200, json.dumps(out).encode())
+                return
             self._send(200, b"{}")
 
     return Handler
