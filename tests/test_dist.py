@@ -132,3 +132,33 @@ def test_leaf_sharded_tree_matches(setup):
     out = np.asarray(leaf_shard.render_rays_leaf_sharded(
         tree_s, o, d, opt, mesh, rps))[:n]
     np.testing.assert_allclose(out, single, atol=2e-5, rtol=1e-5)
+
+
+def test_multi_scene_sharded_multiple_per_group(setup):
+    """S > mesh['scene']: each scene group scans over its local scenes
+    (4 scenes on a 2-group axis), and bad shapes fail with clear errors."""
+    from volrend_tpu.models.synthetic import make_test_tree
+    trees = [make_test_tree(max_depth=3, basis_dim=4, seed=s,
+                            sigma_scale=50.0).to_device(lut_depth=None)
+             for s in (2, 7, 12, 3)]
+    opt = RenderOptions(max_steps=128)
+    cam = Camera.from_vectors(width=16, height=16, fx=20.0)
+    o, d = cam.pixel_rays(xp=np)
+
+    stacked = dist.stack_trees(trees)
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("scene", "rays"))
+    oo = jnp.asarray(np.stack([o] * 4))
+    dd = jnp.asarray(np.stack([d] * 4))
+    out = np.asarray(dist.render_scenes_sharded(stacked, oo, dd, opt, mesh))
+    for s in range(4):
+        ref = np.asarray(render_jax.render_rays(
+            trees[s], jnp.asarray(o), jnp.asarray(d), opt))
+        np.testing.assert_allclose(out[s], ref, atol=2e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="scenes do not tile"):
+        dist.render_scenes_sharded(stacked, oo[:3], dd[:3], opt, mesh)
+    with pytest.raises(ValueError, match="ray batches"):
+        dist.render_scenes_sharded(
+            dist.stack_trees(trees[:2]), oo, dd, opt, mesh)

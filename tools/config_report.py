@@ -133,11 +133,24 @@ def main():
     a = np.asarray(render_jax.render_image(host_dec.to_device(
         lut_depth=None), cam, opt))
     b = np.asarray(render_jax.render_image(dev_q, cam, opt))
+    # decompose the loss: the default sigma<2 kill (the reference's own
+    # deliberate lossy step, compress_octree.py:32) dominates on this
+    # synthetic scene; quantization-only error is measured at thresh=0
+    # with the reference's 2^16 codebook.
+    with np.load("/tmp/_cfg3.npz") as f:
+        zq16 = compress_tree(dict(f.items()), bits=16, retain=1,
+                             sigma_thresh=0.0)
+    np.savez("/tmp/_cfg3q16.npz", **zq16)
+    q16 = np.asarray(render_jax.render_image(
+        N3Tree("/tmp/_cfg3q16.npz").to_device(lut_depth=None), cam, opt))
+    quant_only_db = psnr(q16[..., :3], t2[..., :3])
     R["config3_quantized"] = {
         "ondevice_vs_hostdecode_max_abs": float(np.abs(a - b).max()),
         "quantized_vs_dense_psnr_db": round(psnr(
             a[..., :3], t2[..., :3]), 1),
-        "pass": float(np.abs(a - b).max()) < 1e-5}
+        "quantization_only_psnr_db_16bit": round(quant_only_db, 1),
+        "pass": (float(np.abs(a - b).max()) < 1e-5
+                 and quant_only_db > 60.0)}
 
     # ---- [4] multi-device ------------------------------------------------
     mesh = dist.make_mesh(jax.devices()[:8])

@@ -544,7 +544,17 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
     x0c = jnp.minimum(x0, gi - 2)
 
     SB, BAND = 50, 160  # screen rows per block / intermediate band rows
-    if height % SB == 0 and gi - 1 >= BAND:
+    # the whole quad table gathers at ~1 Grow/s when it fits the fast size
+    # class (measured: full 0.62 ms vs banded 3.5 ms at gi=448/f16); only
+    # fall back to the banded row-block gather for big/precise tables
+    table_bytes = (gi - 1) * (gi - 1) * 16 * (4 if precise else 2)
+    if table_bytes <= 12 * 2 ** 20:
+        use_banded = False
+    elif height % SB == 0 and gi - 1 >= BAND:
+        use_banded = True
+    else:
+        use_banded = False
+    if use_banded:
         # banded gather: a screen row-block reads only a thin band of the
         # intermediate image; slicing that band keeps the gather table in
         # the fast (VMEM-resident) size class (~5x faster than whole-table).

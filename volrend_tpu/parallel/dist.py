@@ -211,15 +211,35 @@ def stack_trees(trees) -> TreeArrays:
 def render_scenes_sharded(stacked: TreeArrays, origins, dirs,
                           opt: RenderOptions, mesh: Mesh):
     """Render S scenes' ray batches on a 2-D ('scene', 'rays') mesh: each
-    scene group holds one octree (scene-sharded HBM) and splits its rays
-    over the 'rays' axis. origins/dirs: (S, R, 3). Returns (S, R, 4)."""
-    import dataclasses
+    scene group holds S / mesh['scene'] octrees (scene-sharded HBM) and
+    splits their rays over the 'rays' axis. origins/dirs: (S, R, 3);
+    S must be a multiple of the 'scene' axis size and R of the 'rays'
+    size. Returns (S, R, 4)."""
+    S = origins.shape[0]
+    n_scene = mesh.shape["scene"]
+    n_rays = mesh.shape["rays"]
+    if S % n_scene:
+        raise ValueError(
+            f"{S} scenes do not tile the 'scene' axis ({n_scene} groups); "
+            f"pad the batch or reshape the mesh")
+    if origins.shape[1] % n_rays:
+        raise ValueError(
+            f"ray count {origins.shape[1]} not divisible by the 'rays' "
+            f"axis ({n_rays}); pad with dist.pad_to_multiple")
+    if stacked.child.shape[0] != S:
+        raise ValueError(
+            f"stacked tree holds {stacked.child.shape[0]} scenes but "
+            f"{S} ray batches were given")
     tree_spec = jax.tree_util.tree_map(lambda _: P("scene"), stacked)
 
     def local(tree_l, o, d):
-        tree1 = jax.tree_util.tree_map(lambda x: x[0], tree_l)
-        out = render_jax.render_rays(tree1, o[0], d[0], opt)
-        return out[None]
+        # scan over this group's local scenes (S / n_scene of them)
+        def one(_, args):
+            tree1, o1, d1 = args
+            return None, render_jax.render_rays(tree1, o1, d1, opt)
+
+        _, out = jax.lax.scan(one, None, (tree_l, o, d))
+        return out
 
     fn = _shmap(local, mesh,
                 in_specs=(tree_spec, P("scene", "rays"), P("scene", "rays")),
