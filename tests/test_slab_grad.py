@@ -282,3 +282,174 @@ def test_frame_trainer_sharded_matches_single(scene):
     # one more sharded step should keep descending
     loss2 = tr_sh.step_frames_sharded(mesh, cams, targets)
     assert loss2 < loss_sh
+
+
+# ---------------------------------------------------------------------------
+# Grid-space (pyramid) parameterization — the scatter-free training state
+# ---------------------------------------------------------------------------
+
+def test_pyramid_bake_and_roundtrip_exact(scene):
+    """bake_from_pyramid == bake_from_data bit-exactly, and the
+    leaf <-> pyramid conversions round-trip without loss (the property
+    FrameTrainer's checkpoint bit-stability rests on)."""
+    dev, grid, bmap, data32 = scene
+    pyr = slab_grad.data_to_pyramid(data32, bmap)
+    g_leaf = slab_grad.bake_from_data(data32, bmap)
+    g_pyr = slab_grad.bake_from_pyramid(pyr, bmap)
+    np.testing.assert_array_equal(np.asarray(g_leaf), np.asarray(g_pyr))
+
+    back = slab_grad.pyramid_to_data(pyr, bmap, data32.shape[0],
+                                     data32.shape[1])
+    rows = np.concatenate([np.asarray(r) for r in bmap.rows])
+    np.testing.assert_array_equal(
+        np.asarray(data32)[rows, :bmap.D], np.asarray(back)[rows, :bmap.D])
+    pyr2 = slab_grad.data_to_pyramid(back, bmap)
+    for a, b in zip(pyr, pyr2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pyramid_loss_and_grads_match_leaf(scene):
+    """loss_and_grad_frame on pyramid params: identical loss, and the
+    pyramid gradient at each leaf's block equals the leaf-row gradient
+    (same function, reparameterized — must agree exactly)."""
+    dev, grid, bmap, data32, cam, perm, flip = frame_setup(scene)
+    opt = RenderOptions(max_steps=512)
+    tr = jnp.asarray(cam.transform)
+    tgt = jnp.zeros((24, 24, 4), jnp.float32)
+    pyr = slab_grad.data_to_pyramid(data32, bmap)
+
+    l_leaf, g_leaf = slab_grad.loss_and_grad_frame(
+        data32, bmap, grid, tr, cam.fx, cam.fy, perm, flip, 24, 24, tgt,
+        opt, gi=48)
+    l_pyr, g_pyr = slab_grad.loss_and_grad_frame(
+        pyr, bmap, grid, tr, cam.fx, cam.fy, perm, flip, 24, 24, tgt,
+        opt, gi=48)
+    assert float(l_leaf) == float(l_pyr)
+    gl = np.asarray(g_leaf)
+    for p, r, c in zip(g_pyr, bmap.rows, bmap.coords):
+        if not np.asarray(r).size:
+            continue
+        pv = np.asarray(p).reshape(-1, bmap.D)[np.asarray(c)]
+        np.testing.assert_allclose(pv, gl[np.asarray(r)][:, :bmap.D],
+                                   rtol=1e-6, atol=1e-7)
+        # masked-off entries must get exactly zero gradient (they must
+        # never drift from zero, or leaf round-trips would lose state)
+        m = np.zeros(p.shape[0] ** 3, bool)
+        m[np.asarray(c)] = True
+        dead = np.asarray(p).reshape(-1, bmap.D)[~m]
+        assert not dead.any()
+
+
+# ---------------------------------------------------------------------------
+# Pallas training fast path (fused forward + backward kernels)
+# ---------------------------------------------------------------------------
+
+def _pallas_frame_parts(scene, gi=32):
+    """Shared setup: planar payload, packed params, zbounds, cfg."""
+    from volrend_tpu.ops import pallas_slab
+    dev, grid, bmap, data32, cam, perm, flip = frame_setup(scene)
+    opt = RenderOptions(max_steps=512).replace(renormalize=False,
+                                               render_depth=False)
+    geom = slab_render.FrameGeom(grid, jnp.asarray(cam.transform), cam.fx,
+                                 cam.fy, perm, flip, cam.width, cam.height,
+                                 opt, gi)
+    ids = tuple(range(grid.G - 1, -1, -1) if flip else range(grid.G))
+    cfg = slab_grad.SlabCfg(G=grid.G, gi=gi, D=grid.data_dim,
+                            bd=grid.basis_dim, fmt=int(grid.fmt),
+                            perm=perm, flip=flip, ids=ids, opt=opt)
+    payload = jnp.asarray(grid.data, jnp.float32)
+    planar = jnp.transpose(payload, (perm[0], 3, perm[1], perm[2]))
+    pperm = jnp.transpose(planar.astype(jnp.bfloat16).astype(jnp.float32),
+                          (0, 2, 3, 1))   # bf16-rounded, scan layout
+    params = slab_grad._pack_geom_params(geom, cfg, 1.0 / geom.scale)
+    zb = jnp.stack([geom.z_lo_pix, geom.z_hi_pix])
+    gm = dict(cz=geom.cz, cy=geom.cy, cx=geom.cx, uy=geom.uy, ux=geom.ux,
+              z_lo=geom.z_lo_pix, z_hi=geom.z_hi_pix, scale=geom.scale,
+              lo=geom.lo, hi=geom.hi)
+    return grid, cfg, gm, planar, pperm, params, zb
+
+
+def test_pallas_bwd_kernel_matches_autodiff(scene, monkeypatch):
+    """march_slabs_bwd (interpret) == jax.grad of the scan march on the
+    same bf16-rounded payload, up to the kernel's bf16 warp matmuls."""
+    import jax
+    from volrend_tpu.ops import pallas_slab
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        grid, cfg, gm, planar, pperm, params, zb = _pallas_frame_parts(
+            scene)
+        gi = cfg.gi
+        acc4 = slab_grad._pallas_fwd_call(cfg, planar, params, zb,
+                                          grid.extra)
+        rng = np.random.default_rng(0)
+        g_acc = jnp.asarray(rng.normal(size=(gi, gi, 3)).astype(np.float32))
+        g_T = jnp.asarray(rng.normal(size=(gi, gi)).astype(np.float32))
+        gacc4 = jnp.concatenate([jnp.moveaxis(g_acc, -1, 0), g_T[None]])
+        grad_planar = pallas_slab.march_slabs_bwd(
+            planar.astype(jnp.bfloat16), params,
+            jnp.ones((cfg.D,), jnp.float32), zb, gacc4, acc4,
+            cfg.G, gi, cfg.D, cfg.bd, cfg.perm, extra=grid.extra,
+            fmt=cfg.fmt, flip=cfg.flip)
+        grad_k = np.asarray(jnp.transpose(grad_planar, (0, 2, 3, 1)),
+                            np.float64)
+
+        def f(pp):
+            a, t = slab_grad._march_fwd_impl(cfg, pp, grid.extra, gm)
+            return jnp.sum(a * g_acc) + jnp.sum(t * g_T)
+
+        grad_s = np.asarray(jax.grad(f)(pperm), np.float64)
+        rel = (np.linalg.norm(grad_k - grad_s)
+               / (np.linalg.norm(grad_s) + 1e-30))
+        cos = float((grad_k * grad_s).sum()
+                    / (np.linalg.norm(grad_k) * np.linalg.norm(grad_s)
+                       + 1e-30))
+        assert rel < 2e-2 and cos > 0.999, (rel, cos)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+
+
+def test_pallas_train_backend_end_to_end(scene, monkeypatch):
+    """render_frame_train(backend='pallas') forward and loss gradients
+    match the scan backend through bake -> march -> warp -> loss."""
+    import jax
+    from volrend_tpu.ops import pallas_slab
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        dev, grid, bmap, data32, cam, perm, flip = frame_setup(scene)
+        opt = RenderOptions(max_steps=512)
+        tr = jnp.asarray(cam.transform, jnp.float32)
+        gi = 32
+
+        outs = {}
+        for bk in ("scan", "pallas"):
+            outs[bk] = np.asarray(slab_grad.render_frame_train(
+                data32, bmap, grid, tr, cam.fx, cam.fy, perm, flip,
+                cam.width, cam.height, opt, gi=gi, backend=bk))
+        assert np.abs(outs["scan"] - outs["pallas"]).max() < 2e-2
+
+        tgt = jnp.asarray(outs["scan"] * 0.9 + 0.02)
+
+        def lg(bk):
+            def loss_fn(dd):
+                o = slab_grad.render_frame_train(
+                    dd, bmap, grid, tr, cam.fx, cam.fy, perm, flip,
+                    cam.width, cam.height, opt, gi=gi, backend=bk)
+                diff = o[..., :3] - tgt[..., :3]
+                return jnp.mean(diff * diff)
+            return jax.value_and_grad(loss_fn)(data32)
+
+        l_s, g_s = lg("scan")
+        l_p, g_p = lg("pallas")
+        assert abs(float(l_s) - float(l_p)) < 1e-4 * max(1.0, float(l_s))
+        gs = np.asarray(g_s, np.float64)
+        gp = np.asarray(g_p, np.float64)
+        rel = np.linalg.norm(gp - gs) / (np.linalg.norm(gs) + 1e-30)
+        cos = float((gs * gp).sum()
+                    / (np.linalg.norm(gs) * np.linalg.norm(gp) + 1e-30))
+        assert rel < 8e-2 and cos > 0.995, (rel, cos)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()

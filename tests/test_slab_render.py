@@ -92,9 +92,15 @@ def test_render_bbox(scene):
     assert psnr(out[..., :3], ref[..., :3]) > 28.0
 
 
-def test_banded_final_warp_matches_exact(scene):
+def test_banded_final_warp_matches_exact(scene, monkeypatch):
     """The banded gather path (H % 50 == 0, gi-1 >= 160) must render
-    correctly (vs exact renderer) — exercises dynamic band slicing."""
+    correctly (vs exact renderer) — exercises dynamic band slicing. The
+    full-table threshold is forced to 0 so the small test table actually
+    takes the banded branch (production crosses it at gi>=629 f16 /
+    gi>=444 precise)."""
+    import jax
+    monkeypatch.setattr(slab_render, "_FULL_TABLE_MAX_BYTES", 0)
+    jax.clear_caches()   # the threshold is trace-time; drop stale jits
     dev, grid = scene
     cam = make_cam((1, 0.2, 0.3), width=100, height=100)
     opt = RenderOptions(max_steps=512)

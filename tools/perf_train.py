@@ -34,9 +34,22 @@ def sync_time(fn, *args, reps=3):
 
 
 def main():
+    # One depth below bench scale (G=128): full-f32 training state (data +
+    # baked grid + its cotangent) fits one chip; bench scale (G=256, 4.2 GB
+    # params) is the leaf-sharded multi-chip regime, not single-chip.
+    from volrend_tpu.models.synthetic import make_test_tree
+    from volrend_tpu.models.n3tree import N3Tree
     W = H = 800
     gi = 448
-    tree = bench_mod.get_tree()
+    cache = "/tmp/_d6tree.npz"
+    if os.path.isfile(cache):
+        log("loading cached depth-6 tree")
+        tree = N3Tree(cache)
+    else:
+        log("building depth-6 tree")
+        tree = make_test_tree(max_depth=6, basis_dim=16, seed=3, n_blobs=6,
+                              sigma_scale=60.0)
+        tree.save_npz(cache, compressed=False)
     dev = tree.to_device(lut_depth=None)
     grid = dense_grid.bake_dense(dev, dtype="int8")
     opt = RenderOptions(max_steps=1024)
@@ -62,20 +75,33 @@ def main():
     target = fwd(grid, tr)
     target.block_until_ready()
 
-    # (b) forward training semantics (bake + scan march + warp)
-    fgrid = dense_grid.bake_dense(dev, dtype="bf16")
-    tf = jax.jit(lambda d_, t_: slab_grad.render_frame_train(
-        d_, bmap, fgrid, t_, cam.fx, cam.fy, perm, flip, W, H, opt, gi))
-    t = sync_time(tf, data, tr)
-    log(f"forward train-sem   : {t*1e3:8.2f} ms/frame")
+    # grid-space (pyramid) parameter state — the production training state
+    log("building pyramid")
+    pyr = jax.jit(lambda d_: slab_grad.data_to_pyramid(d_, bmap))(data)
+    jax.block_until_ready(pyr)
+    log(f"pyramid levels {[tuple(p.shape) for p in pyr]} "
+        f"{sum(p.nbytes for p in pyr)/1e6:.0f} MB")
 
-    # (c) full loss + grad
-    lg = jax.jit(lambda d_, t_, tgt: slab_grad.loss_and_grad_frame(
-        d_, bmap, fgrid, t_, cam.fx, cam.fy, perm, flip, W, H, tgt, opt,
-        gi))
-    t = sync_time(lg, data, tr, target)
-    log(f"loss+grad step      : {t*1e3:8.2f} ms/frame "
-        f"({t*1e3/fwd_ms:.1f}x forward)")
+    # (b) forward training semantics (bake + Pallas march + warp)
+    fgrid = dense_grid.bake_dense(dev, dtype="f16")
+    for name, params in (("leaf", data), ("pyramid", pyr)):
+        tf = jax.jit(lambda d_, t_: slab_grad.render_frame_train(
+            d_, bmap, fgrid, t_, cam.fx, cam.fy, perm, flip, W, H, opt,
+            gi))
+        t = sync_time(tf, params, tr)
+        log(f"fwd train-sem {name:7s}: {t*1e3:8.2f} ms/frame")
+
+    # (c) full loss + grad (auto backend: Pallas fwd+bwd kernels on TPU;
+    #     the XLA scan backend measured 1256 ms/frame here). leaf params
+    #     pay an XLA scatter bake each step; pyramid params are the
+    #     scatter-free grid-space state.
+    for name, params in (("leaf", data), ("pyramid", pyr)):
+        lg = jax.jit(lambda d_, t_, tgt: slab_grad.loss_and_grad_frame(
+            d_, bmap, fgrid, t_, cam.fx, cam.fy, perm, flip, W, H, tgt,
+            opt, gi))
+        t = sync_time(lg, params, tr, target)
+        log(f"loss+grad {name:7s}   : {t*1e3:8.2f} ms/frame "
+            f"({t*1e3/fwd_ms:.1f}x forward)")
 
 
 if __name__ == "__main__":

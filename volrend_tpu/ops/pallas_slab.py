@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from volrend_tpu.ops import basis as basis_mod
 
-__all__ = ["march_slabs", "available"]
+__all__ = ["march_slabs", "march_slabs_bwd", "available"]
 
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
@@ -112,6 +112,78 @@ def _sh_planes(bd: int, x, y, z):
 
 # params vector layout (f32): see _pack_params
 _NP = 20
+
+
+def _warp_mats(cy, cx, s0, s1, u0, du, v0, dv, G: int, gi: int):
+    """Box-integration two-tap warp matrices for one slab.
+
+    Each row holds the two fractional-overlap weights of the pixel ray's
+    within-slab span — integrating the piecewise-constant field exactly
+    where the span crosses at most one cell boundary. Two nonzeros per
+    row — same matmul shapes as a one-hot gather; weights are exact-enough
+    in bf16 (<0.5% relative).
+
+    Returns (ohr (gi, G), ohct (G, gi)) in bf16.
+    """
+    jrow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
+    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1)
+    uj = u0 + du * jrow
+    p0r = (cy + s0 * uj) * G
+    p1r = (cy + s1 * uj) * G
+    pminr = jnp.minimum(p0r, p1r)
+    c0r = jnp.clip(jnp.floor(pminr).astype(jnp.int32), 0, G - 1)
+    spanr = jnp.maximum(jnp.abs(p1r - p0r), 1e-9)
+    fr = jnp.clip((c0r.astype(_F32) + 1.0 - pminr) / spanr, 0.0, 1.0)
+    ohr = ((gcol == c0r).astype(_F32) * fr
+           + (gcol == jnp.clip(c0r + 1, 0, G - 1)).astype(_F32)
+           * (1.0 - fr)).astype(_BF16)                   # (gi, G)
+
+    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0)
+    icol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
+    vk = v0 + dv * icol
+    p0c = (cx + s0 * vk) * G
+    p1c = (cx + s1 * vk) * G
+    pminc = jnp.minimum(p0c, p1c)
+    d0c = jnp.clip(jnp.floor(pminc).astype(jnp.int32), 0, G - 1)
+    spanc = jnp.maximum(jnp.abs(p1c - p0c), 1e-9)
+    fc = jnp.clip((d0c.astype(_F32) + 1.0 - pminc) / spanc, 0.0, 1.0)
+    ohct = ((grow == d0c).astype(_F32) * fc
+            + (grow == jnp.clip(d0c + 1, 0, G - 1)).astype(_F32)
+            * (1.0 - fc)).astype(_BF16)                  # (G, gi)
+    return ohr, ohct
+
+
+def _warp_mats_T(cy, cx, s0, s1, u0, du, v0, dv, G: int, gi: int):
+    """Transposes of _warp_mats' matrices, built directly from iotas (no
+    in-kernel transpose relayout): ohrT (G, gi) with ohrT[g, j] = ohr[j, g],
+    ohctT (gi, G) with ohctT[i, g] = ohct[g, i]. Used by the backward
+    kernel's adjoint warp matmuls."""
+    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0)
+    jcol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
+    uj = u0 + du * jcol
+    p0r = (cy + s0 * uj) * G
+    p1r = (cy + s1 * uj) * G
+    pminr = jnp.minimum(p0r, p1r)
+    c0r = jnp.clip(jnp.floor(pminr).astype(jnp.int32), 0, G - 1)
+    spanr = jnp.maximum(jnp.abs(p1r - p0r), 1e-9)
+    fr = jnp.clip((c0r.astype(_F32) + 1.0 - pminr) / spanr, 0.0, 1.0)
+    ohrT = ((grow == c0r).astype(_F32) * fr
+            + (grow == jnp.clip(c0r + 1, 0, G - 1)).astype(_F32)
+            * (1.0 - fr)).astype(_BF16)                  # (G, gi)
+
+    irow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
+    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1)
+    vk = v0 + dv * irow
+    p0c = (cx + s0 * vk) * G
+    p1c = (cx + s1 * vk) * G
+    pminc = jnp.minimum(p0c, p1c)
+    d0c = jnp.clip(jnp.floor(pminc).astype(jnp.int32), 0, G - 1)
+    spanc = jnp.maximum(jnp.abs(p1c - p0c), 1e-9)
+    fc = jnp.clip((d0c.astype(_F32) + 1.0 - pminc) / spanc, 0.0, 1.0)
+    ohctT = ((gcol == d0c).astype(_F32) * fc
+             + (gcol == jnp.clip(d0c + 1, 0, G - 1)).astype(_F32)
+             * (1.0 - fc)).astype(_BF16)                 # (gi, G)
+    return ohrT, ohctT
 
 
 def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
@@ -234,38 +306,9 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                             * qs_ref[c * bd + k]) * bk
                 srgb = [sigma * jax.nn.sigmoid(r) for r in raw]
 
-            # box-integration two-tap warp matrices: integrate the
-            # piecewise-constant field over each pixel ray's within-slab
-            # span (exact per-voxel DDA chords to second order). Two
-            # nonzeros per row — same matmul shapes as a one-hot gather;
-            # weights are exact-enough in bf16 (<0.5% relative).
-            jrow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
-            gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1)
-            uj = u0 + du * jrow
-            p0r = (cy + s0 * uj) * G
-            p1r = (cy + s1 * uj) * G
-            pminr = jnp.minimum(p0r, p1r)
-            c0r = jnp.clip(jnp.floor(pminr).astype(jnp.int32), 0, G - 1)
-            spanr = jnp.maximum(jnp.abs(p1r - p0r), 1e-9)
-            fr = jnp.clip((c0r.astype(_F32) + 1.0 - pminr) / spanr,
-                          0.0, 1.0)
-            ohr = ((gcol == c0r).astype(_F32) * fr
-                   + (gcol == jnp.clip(c0r + 1, 0, G - 1)).astype(_F32)
-                   * (1.0 - fr)).astype(_BF16)                  # (gi, G)
-
-            grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0)
-            icol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
-            vk = v0 + dv * icol
-            p0c = (cx + s0 * vk) * G
-            p1c = (cx + s1 * vk) * G
-            pminc = jnp.minimum(p0c, p1c)
-            d0c = jnp.clip(jnp.floor(pminc).astype(jnp.int32), 0, G - 1)
-            spanc = jnp.maximum(jnp.abs(p1c - p0c), 1e-9)
-            fc = jnp.clip((d0c.astype(_F32) + 1.0 - pminc) / spanc,
-                          0.0, 1.0)
-            ohct = ((grow == d0c).astype(_F32) * fc
-                    + (grow == jnp.clip(d0c + 1, 0, G - 1)).astype(_F32)
-                    * (1.0 - fc)).astype(_BF16)                 # (G, gi)
+            # box-integration two-tap warp matrices (exact per-voxel DDA
+            # chords to second order; see _warp_mats)
+            ohr, ohct = _warp_mats(cy, cx, s0, s1, u0, du, v0, dv, G, gi)
 
             # stage 1: stacked column warp — ONE (4G, G) @ (G, gi) matmul
             # (depth mode only needs the sigma channel)
@@ -458,3 +501,287 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
 
     _, acc = lax.while_loop(cond, body, (jnp.int32(0), acc0))
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Backward march kernel (training fast path)
+# ---------------------------------------------------------------------------
+
+def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
+                     perm: Tuple[int, int, int], basis_lo: int,
+                     basis_hi: int, fmt: int,
+                     rot: Optional[Tuple[float, ...]], K: int, flip: bool):
+    """Gradient of the slab march w.r.t. the (unquantized, planar) payload.
+
+    Re-marches the slabs in FORWARD order carrying (T, A) in VMEM scratch —
+    the same suffix-reconstruction algebra as ops/grad.py and
+    slab_grad._march_bwd:
+
+        g_tau_i   = T_i att_i G_i - (Ctot - A_i) - T_end g_T
+        g_srgb_i  = g_acc * w_i / sig_w
+
+    then runs the *transposed* warp matmuls (built directly from iotas, no
+    relayout) and the shade adjoint (sigmoid' + basis planes) into the
+    window's grad block. Every window is visited exactly once, so each
+    output block is written wholesale (no collisions, no pre-zeroing pass).
+    """
+    slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}
+    from volrend_tpu.models.data_format import BasisType
+    bt = BasisType(fmt)
+    dz_order = range(K - 1, -1, -1) if flip else range(K)
+
+    def kernel(ids_ref, params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
+               gacc_ref, aux_ref, out_ref, state_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            state_ref[0] = jnp.ones((gi, gi), _F32)      # T
+            state_ref[1] = jnp.zeros((gi, gi), _F32)     # A
+
+        wid = ids_ref[i]
+
+        def _slab_bwd(dzi):
+            sid = wid * K + dzi
+            p = params_ref
+            cz, cy, cx = p[0], p[1], p[2]
+            u0, du, v0, dv = p[3], p[4], p[5], p[6]
+            sgn = p[7]
+            spp0, spp1, spp2 = p[8], p[9], p[10]
+            inv_s = (p[11], p[12], p[13])
+            sigma_thresh, stop_thresh = p[14], p[15]
+            lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
+
+            z = (sid.astype(_F32) + 0.5) / G
+            s = z - cz
+            s0 = z - 0.5 / G - cz
+            s1 = z + 0.5 / G - cz
+            s_inv = 1.0 / s
+
+            # ---- forward recompute: shade ----------------------------------
+            yrow = lax.broadcasted_iota(jnp.int32, (G, G), 0).astype(_F32)
+            xcol = lax.broadcasted_iota(jnp.int32, (G, G), 1).astype(_F32)
+            yc = (yrow + 0.5) / G
+            xc = (xcol + 0.5) / G
+            uyv = (yc - cy) * s_inv
+            uxv = (xc - cx) * s_inv
+
+            sigma = slab_ref[dzi, D - 1].astype(_F32) * qs_ref[D - 1]
+            ok = ((sigma > sigma_thresh)
+                  & (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2))
+            sigma = jnp.where(ok, sigma, 0.0)
+
+            def make_planes():
+                d_perm = (jnp.full((G, G), sgn, _F32), sgn * uyv, sgn * uxv)
+                dw = [d_perm[slot[a]] * inv_s[a] for a in range(3)]
+                rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1]
+                                  + dw[2] * dw[2])
+                dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
+                if rot is not None:
+                    dx, dy, dz = (rot[0] * dx + rot[1] * dy + rot[2] * dz,
+                                  rot[3] * dx + rot[4] * dy + rot[5] * dz,
+                                  rot[6] * dx + rot[7] * dy + rot[8] * dz)
+                if bt == BasisType.SH:
+                    return _sh_planes(bd, dx, dy, dz)
+                if bt == BasisType.SG:
+                    return ((k, jnp.exp(extra_ref[4 * k] * (
+                        extra_ref[4 * k + 1] * dx
+                        + extra_ref[4 * k + 2] * dy
+                        + extra_ref[4 * k + 3] * dz - 1.0)) / bd)
+                        for k in range(bd))
+                if bt == BasisType.ASG:
+                    def _asg():
+                        for k in range(bd):
+                            e = [extra_ref[11 * k + t] for t in range(11)]
+                            dotx = e[2] * dx + e[3] * dy + e[4] * dz
+                            doty = e[5] * dx + e[6] * dy + e[7] * dz
+                            S = e[8] * dx + e[9] * dy + e[10] * dz
+                            yield k, S * jnp.exp(
+                                -e[0] * dotx * dotx
+                                - e[1] * doty * doty) / bd
+                    return _asg()
+                raise NotImplementedError(f"basis {bt}")
+
+            if bd < 0:
+                # RGBA payload: raw colors, no basis
+                rgb = [slab_ref[dzi, c].astype(_F32) * qs_ref[c]
+                       for c in range(3)]
+            else:
+                raw = [jnp.zeros((G, G), _F32) for _ in range(3)]
+                for k, bk in make_planes():
+                    if k < basis_lo or k > basis_hi:
+                        continue
+                    for c in range(3):
+                        raw[c] = raw[c] + (
+                            slab_ref[dzi, c * bd + k].astype(_F32)
+                            * qs_ref[c * bd + k]) * bk
+                rgb = [jax.nn.sigmoid(r) for r in raw]
+            srgb = [sigma * r for r in rgb]
+
+            # ---- forward recompute: warp + composite inputs ----------------
+            ohr, ohct = _warp_mats(cy, cx, s0, s1, u0, du, v0, dv, G, gi)
+            stack = jnp.concatenate([sigma] + srgb, axis=0).astype(_BF16)
+            w1 = jnp.dot(stack, ohct, preferred_element_type=_F32)
+            w1 = w1.astype(_BF16)
+            sig_w = jnp.dot(ohr, w1[:G], preferred_element_type=_F32)
+            srgb_w = [jnp.dot(ohr, w1[(c + 1) * G:(c + 2) * G],
+                              preferred_element_type=_F32)
+                      for c in range(3)]
+
+            ujq = lax.broadcasted_iota(jnp.int32, (gi, gi), 0).astype(_F32)
+            vkq = lax.broadcasted_iota(jnp.int32, (gi, gi), 1).astype(_F32)
+            up = (u0 + du * ujq) * spp1
+            vp = (v0 + dv * vkq) * spp2
+            dt_pix = (1.0 / G) * jnp.sqrt(up * up + vp * vp + spp0 * spp0)
+            tau_w = sig_w * dt_pix
+            att = jnp.exp(-tau_w)
+            sig_inv = 1.0 / jnp.maximum(sig_w, 1e-12)
+
+            zlo = zb_ref[0]
+            zhi = zb_ref[1]
+            T = state_ref[0]
+            A = state_ref[1]
+            m = ((z >= zlo) & (z <= zhi) & (T >= stop_thresh)
+                 & (tau_w > 0.0))
+            w = jnp.where(m, T * (1.0 - att), 0.0)
+
+            # ---- pixel-space gradients (suffix algebra) --------------------
+            rgb_w = [srgb_w[c] * sig_inv for c in range(3)]
+            G_pix = (gacc_ref[0] * rgb_w[0] + gacc_ref[1] * rgb_w[1]
+                     + gacc_ref[2] * rgb_w[2])
+            A = A + w * G_pix
+            ctot = aux_ref[0]
+            gT_term = aux_ref[1]
+            g_tau = jnp.where(m, T * att * G_pix - (ctot - A) - gT_term,
+                              0.0)
+            # rgb_w = srgb_w / max(sig_w, eps): quotient-rule split
+            g_srgb_w = [gacc_ref[c] * w * sig_inv for c in range(3)]
+            sum_term = (gacc_ref[0] * w * srgb_w[0]
+                        + gacc_ref[1] * w * srgb_w[1]
+                        + gacc_ref[2] * w * srgb_w[2])
+            g_sig_w = g_tau * dt_pix - jnp.where(
+                sig_w >= 1e-12, sum_term * sig_inv * sig_inv, 0.0)
+
+            state_ref[0] = jnp.where(m, T * att, T)
+            state_ref[1] = A
+
+            # ---- adjoint warp (transposed matmuls) -------------------------
+            ohrT, ohctT = _warp_mats_T(cy, cx, s0, s1, u0, du, v0, dv,
+                                       G, gi)
+            gch = [g_sig_w] + g_srgb_w
+            g_w1 = jnp.concatenate(
+                [jnp.dot(ohrT, gc.astype(_BF16),
+                         preferred_element_type=_F32).astype(_BF16)
+                 for gc in gch], axis=0)                 # (4G, gi)
+            g_stack = jnp.dot(g_w1, ohctT,
+                              preferred_element_type=_F32)  # (4G, G)
+
+            # ---- shade adjoint --------------------------------------------
+            g_sigma = g_stack[:G]
+            g_srgb_vox = [g_stack[(c + 1) * G:(c + 2) * G]
+                          for c in range(3)]
+            for c in range(3):
+                g_sigma = g_sigma + g_srgb_vox[c] * rgb[c]
+            g_sigma = jnp.where(ok, g_sigma, 0.0)
+            out_ref[dzi, D - 1] = g_sigma * qs_ref[D - 1]
+
+            if bd < 0:
+                for c in range(3):
+                    out_ref[dzi, c] = (g_srgb_vox[c] * sigma * qs_ref[c])
+            else:
+                g_raw = [g_srgb_vox[c] * sigma * rgb[c] * (1.0 - rgb[c])
+                         for c in range(3)]
+                zero = jnp.zeros((G, G), _F32)
+                for k, bk in make_planes():
+                    for c in range(3):
+                        if k < basis_lo or k > basis_hi:
+                            out_ref[dzi, c * bd + k] = zero
+                        else:
+                            out_ref[dzi, c * bd + k] = (
+                                g_raw[c] * bk * qs_ref[c * bd + k])
+                # any trailing payload planes beyond 3*bd+1 stay untouched
+                # only when D == Dp; the wrapper asserts D == block Dp
+
+        for dzi in dz_order:
+            _slab_bwd(dzi)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm",
+                                   "basis_lo", "basis_hi", "fmt", "rot",
+                                   "flip", "k_per_step"))
+def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
+                    G: int, gi: int, D: int, bd: int,
+                    perm: Tuple[int, int, int],
+                    basis_lo: int = 0, basis_hi: int = 24,
+                    extra=None, fmt: int = 1,
+                    rot: Optional[Tuple[float, ...]] = None,
+                    flip: bool = False,
+                    k_per_step: Optional[int] = None):
+    """Payload-cotangent of ``march_slabs`` (training fast path).
+
+    gplanar: (G, D, G, G) channel-planar bf16 payload — the same array the
+        forward marched (unquantized; training bakes from trainable leaves).
+    gacc4: (4, gi, gi) upstream cotangent [g_r, g_g, g_b, g_T].
+    acc4: (4, gi, gi) the forward output (residual).
+    Returns (G, D, G, G) float32 payload gradient. Marches ALL slabs in
+    forward order (training mode never culls — a culled slab could never
+    regrow density), writing each K-window's grad block exactly once.
+    """
+    Dp = gplanar.shape[1]
+    assert Dp == D, "backward kernel requires an unquantized payload"
+    if extra is None or np.prod(np.shape(extra)) == 0:
+        extra = jnp.zeros((1,), _F32)
+    extra = jnp.asarray(extra, _F32).reshape(-1)
+
+    if k_per_step is None:
+        # in-block (bf16) + out-block (f32) double-buffered must fit VMEM
+        per_slab = Dp * G * G * (2 + 4) * 2
+        k_per_step = 1
+        for k in (8, 4, 2):
+            if G % k == 0 and k * per_slab <= 80 * 2 ** 20:
+                k_per_step = k
+                break
+    K = max(1, min(k_per_step, G))
+    while G % K:
+        K -= 1
+
+    ctot = jnp.sum(gacc4[:3] * acc4[:3], axis=0)
+    gT_term = gacc4[3] * acc4[3]
+    aux = jnp.stack([ctot, gT_term])
+
+    nwin = G // K
+    wids = np.arange(nwin, dtype=np.int32)
+    if flip:
+        wids = wids[::-1].copy()
+    ids_dev = jnp.asarray(wids)
+
+    kernel = _make_bwd_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
+                              fmt, rot, K, flip)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nwin,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, Dp, G, G),
+                         lambda i, ids: (ids[i], 0, 0, 0)),
+            pl.BlockSpec((2, gi, gi), lambda i, ids: (0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
+            pl.BlockSpec((2, gi, gi), lambda i, ids: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, Dp, G, G),
+                               lambda i, ids: (ids[i], 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((2, gi, gi), _F32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, Dp, G, G), _F32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_FORCE_INTERPRET,
+    )(ids_dev, params, qscale, extra, gplanar, zbounds,
+      gacc4.astype(_F32), aux)

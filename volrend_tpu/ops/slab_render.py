@@ -50,6 +50,11 @@ __all__ = ["choose_axis", "compatible", "render_frame", "render_image"]
 
 _F32 = jnp.float32
 
+#: quad tables at or below this stay on the whole-table gather fast path;
+#: bigger (or f32-precise) tables use the banded row-block gather. Module
+#: constant so tests can force the banded path at small scale.
+_FULL_TABLE_MAX_BYTES = 12 * 2 ** 20
+
 
 def _cam_corners(width: int, height: int, fx: float, fy: float,
                  n_edge: int = 33) -> np.ndarray:
@@ -548,7 +553,7 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
     # class (measured: full 0.62 ms vs banded 3.5 ms at gi=448/f16); only
     # fall back to the banded row-block gather for big/precise tables
     table_bytes = (gi - 1) * (gi - 1) * 16 * (4 if precise else 2)
-    if table_bytes <= 12 * 2 ** 20:
+    if table_bytes <= _FULL_TABLE_MAX_BYTES:
         use_banded = False
     elif height % SB == 0 and gi - 1 >= BAND:
         use_banded = True

@@ -170,17 +170,60 @@ class FrameTrainer(Trainer):
     octree-gather path the base Trainer uses measures ~80 Mrows/s of
     gathers on v5e, while the slab VJP re-streams the dense grid.
 
-    Checkpoint/export inherit from Trainer (same ``data`` layout).
+    The trainable state lives in GRID space (the per-level pyramid of
+    ``slab_grad.data_to_pyramid``): the per-step bake is then pure dense
+    upsample+select with a sum-pool transpose — the (K, D) leaf
+    parameterization costs an XLA scatter per step (~5 Mrows/s on v5e,
+    2 orders above the march). ``data`` stays a (K, D) *view* derived on
+    read and converted on write, so checkpoints, export, and the npz
+    formats are unchanged (conversions are exact: masked-off pyramid
+    entries get zero gradient and never move).
     """
 
     def __init__(self, tree: TreeArrays, opt: Optional[RenderOptions] = None,
                  optimizer=None, lr: float = 1e-2, G: Optional[int] = None,
                  gi: int = 512):
         from volrend_tpu.ops import dense_grid, slab_grad
-        super().__init__(tree, opt, optimizer, lr)
         self.gi = gi
         self.grid = dense_grid.bake_dense(tree, G=G)
         self.bmap = slab_grad.build_bake_map(tree, G=G)
+        self._K = int(np.asarray(tree.data).shape[0])
+        self._dim = int(np.asarray(tree.data).shape[-1])
+        super().__init__(tree, opt, optimizer, lr)
+        # re-init optimizer state over the pyramid (base init saw the view)
+        self.opt_state = self.optimizer.init(self.pyramid)
+
+    # ``data`` is a derived view over the pyramid ---------------------------
+
+    @property
+    def data(self):
+        from volrend_tpu.ops import slab_grad
+        return slab_grad.pyramid_to_data(self.pyramid, self.bmap, self._K,
+                                         data_dim=self._dim)
+
+    @data.setter
+    def data(self, value):
+        from volrend_tpu.ops import slab_grad
+        self.pyramid = slab_grad.data_to_pyramid(
+            jnp.asarray(value, jnp.float32), self.bmap)
+
+    def step(self, *args, **kw) -> float:
+        raise TypeError(
+            "FrameTrainer optimizes grid-space (pyramid) parameters and "
+            "takes whole-frame supervision (step_frame / "
+            "step_frames_sharded); use Trainer for ray-batch training")
+
+    step_sharded = step
+
+    def restore_checkpoint(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as z:
+            self.step_count = int(z["step"])
+            self.data = jnp.asarray(z["data"])
+            n = int(z["n_opt_leaves"])
+            leaves = [jnp.asarray(z[f"opt_{i}"]) for i in range(n)]
+        treedef = jax.tree_util.tree_structure(
+            self.optimizer.init(self.pyramid))
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
 
     def _group(self, cam):
         from volrend_tpu.ops import slab_render
@@ -193,8 +236,8 @@ class FrameTrainer(Trainer):
     def step_frame(self, cam, target) -> float:
         """One SGD step on a full frame; returns the loss."""
         perm, flip = self._group(cam)
-        self.data, self.opt_state, loss = _frame_step(
-            self.data, self.opt_state, self.bmap, self.grid,
+        self.pyramid, self.opt_state, loss = _frame_step(
+            self.pyramid, self.opt_state, self.bmap, self.grid,
             jnp.asarray(cam.transform), jnp.asarray(target),
             float(cam.fx), float(cam.fy), perm, flip,
             cam.width, cam.height, self.opt, self.gi, self.optimizer)
@@ -212,8 +255,8 @@ class FrameTrainer(Trainer):
         (perm, flip), = groups
         cam = cams[0]
         trs = np.stack([c.transform for c in cams])
-        self.data, self.opt_state, loss = _frame_step_sharded(
-            self.data, self.opt_state, self.bmap, self.grid,
+        self.pyramid, self.opt_state, loss = _frame_step_sharded(
+            self.pyramid, self.opt_state, self.bmap, self.grid,
             jnp.asarray(trs), jnp.asarray(np.stack(targets)),
             float(cam.fx), float(cam.fy), perm, flip,
             cam.width, cam.height, self.opt, self.gi, self.optimizer, mesh)
