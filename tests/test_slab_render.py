@@ -122,7 +122,10 @@ def test_render_frames_batch_matches_single(scene):
         grid, trs, cams[0].fx, cams[0].fy, perm, flip, 48, 48, opt, gi=128))
     for i, c in enumerate(cams):
         single = slab_render.render_image(grid, c, opt, gi=128)
-        np.testing.assert_allclose(batch[i], single, atol=1e-5)
+        # display warp combines in f16: one f16 ulp (~1e-3 on display-range
+        # values, below the 1/255 display quantum) may differ between the
+        # batched and single compilations' fusion orders
+        np.testing.assert_allclose(batch[i], single, atol=2e-3)
 
 
 def test_pallas_path_matches_exact(scene):

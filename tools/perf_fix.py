@@ -68,7 +68,7 @@ def main():
     payload.block_until_ready()
     slab_ids = grid.slab_ids(perm[0], flip, opt.sigma_thresh)
 
-    def march_one(tr):
+    def march_one(pay, tr):
         g = slab_render.FrameGeom(grid, tr, fx, fy, perm, flip, W, H, opt,
                                   gi)
         inv_scale_t = 1.0 / g.scale
@@ -82,13 +82,16 @@ def main():
             g.lo[1], g.hi[1], g.lo[2], g.hi[2])
         zb = jnp.stack([g.z_lo_pix, g.z_hi_pix])
         acc4 = pallas_slab.march_slabs(
-            payload, params, grid.qscale, zb, G, gi, grid.data_dim,
+            pay, params, grid.qscale, zb, G, gi, grid.data_dim,
             grid.basis_dim, perm, slab_ids=slab_ids, sig2=grid.quantized,
             flip=flip)
         return jnp.sum(acc4, dtype=jnp.float32)
 
-    marchf = jax.jit(lambda ts: lax.map(march_one, ts))
-    t = sync_time(marchf, trs, reps=3)
+    # payload must be an argument, not a closure capture (the remote
+    # compiler rejects GB-size HLO constants)
+    marchf = jax.jit(lambda pay, ts: lax.map(
+        lambda tr: march_one(pay, tr), ts))
+    t = sync_time(marchf, payload, trs, reps=3)
     log(f"geom+march only    : {t/n*1e3:7.2f} ms/frame")
 
     # geom only

@@ -62,6 +62,11 @@ _FORCE_INTERPRET = False
 #: per frame; 128 keeps one early-exit point per half-grid at ~peak speed)
 _CHUNK = 128
 
+#: VMEM budget handed to Mosaic for the forward kernel; module constant so
+#: perf probes can sweep it (more headroom can enable block double-buffering
+#: = DMA/compute overlap; too much starves other buffers)
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def available() -> bool:
     if _FORCE_INTERPRET:
@@ -385,7 +390,7 @@ def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, gi, gi), _F32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_FORCE_INTERPRET,
     )(ids_chunk, params, qscale, extra, gplanar, zbounds, acc)
 

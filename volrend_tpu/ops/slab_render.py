@@ -591,11 +591,17 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
     else:
         q = quad.reshape((gi - 1) * (gi - 1), 16)[
             y0c * (gi - 1) + x0c].reshape(height, width, 4, 4)
-    q = q.astype(_F32)
+    if not precise:
+        # display path: combine in f16 (display-range rgba; saves ~0.4 ms
+        # of f32 materialization at 800^2), cast once at the end
+        fy_ = fy_.astype(jnp.float16)
+        fx_ = fx_.astype(jnp.float16)
+    else:
+        q = q.astype(_F32)
     v00, v01, v10, v11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
     out = ((v00 * (1 - fx_) + v01 * fx_) * (1 - fy_)
            + (v10 * (1 - fx_) + v11 * fx_) * fy_)
-    out = jnp.where(ok[..., None], out, 0.0)
+    out = jnp.where(ok[..., None], out, 0.0).astype(_F32)
 
     rgb = out[..., :3] + _F32(opt.background_brightness) * (
         1.0 - out[..., 3:4])
