@@ -77,6 +77,43 @@ def main():
             flip=flip, k_per_step=k)
         return jnp.sum(acc4, dtype=jnp.float32)
 
+    # pure-DMA floor: same block stream, near-zero compute
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    Dp = payload.shape[1]
+    n_win = G // 4
+    ids = jnp.arange(n_win, dtype=jnp.int32)
+
+    def dma_kernel(ids_ref, slab_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        o_ref[...] += slab_ref[0, 0, :8, :128].astype(jnp.float32)
+
+    def dma_once(pay):
+        return pl.pallas_call(
+            dma_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_win,),
+                in_specs=[pl.BlockSpec((4, Dp, G, G),
+                                       lambda i, ids: (ids[i], 0, 0, 0))],
+            ),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(ids, pay)
+
+    f = jax.jit(lambda pay, ts: lax.map(
+        lambda tr: jnp.sum(dma_once(pay)) + jnp.sum(tr), ts))
+    t = sync_time(f, payload, trs, reps=3)
+    gb = payload.size * payload.dtype.itemsize / 1e9
+    log(f"pure DMA stream  : {t/n*1e3:7.2f} ms/frame "
+        f"({gb/(t/n):6.0f} GB/s)")
+
     for vmem in (100, 120):
         pallas_slab._VMEM_LIMIT = vmem * 1024 * 1024
         for k in (1, 2, 4):

@@ -120,41 +120,47 @@ _NP = 20
 
 
 def _warp_mats(cy, cx, s0, s1, u0, du, v0, dv, G: int, gi: int):
-    """Box-integration two-tap warp matrices for one slab.
+    """Box-integration warp matrices for one slab.
 
-    Each row holds the two fractional-overlap weights of the pixel ray's
-    within-slab span — integrating the piecewise-constant field exactly
-    where the span crosses at most one cell boundary. Two nonzeros per
-    row — same matmul shapes as a one-hot gather; weights are exact-enough
-    in bf16 (<0.5% relative).
+    Each row holds the exact fractional overlap of the pixel ray's
+    within-slab span with every grid cell — integrating the
+    piecewise-constant field exactly. Edge cells extend to +-inf so
+    out-of-grid span mass clamps to them: the octree query clamps
+    positions into [0, 1)^3 (n3tree_query.hpp:17-19), so the exact
+    renderer reads edge voxels there too. Typically two nonzeros per
+    row — same matmul shapes as a one-hot gather; weights are
+    exact-enough in bf16 (<0.5% relative).
 
     Returns (ohr (gi, G), ohct (G, gi)) in bf16.
     """
+    big = _F32(1e9)
     jrow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
-    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1)
+    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1).astype(_F32)
+    hi_r = jnp.where(gcol >= G - 1.0, big, gcol + 1.0)
+    lo_r = jnp.where(gcol <= 0.0, -big, gcol)
     uj = u0 + du * jrow
     p0r = (cy + s0 * uj) * G
     p1r = (cy + s1 * uj) * G
     pminr = jnp.minimum(p0r, p1r)
-    c0r = jnp.clip(jnp.floor(pminr).astype(jnp.int32), 0, G - 1)
-    spanr = jnp.maximum(jnp.abs(p1r - p0r), 1e-9)
-    fr = jnp.clip((c0r.astype(_F32) + 1.0 - pminr) / spanr, 0.0, 1.0)
-    ohr = ((gcol == c0r).astype(_F32) * fr
-           + (gcol == jnp.clip(c0r + 1, 0, G - 1)).astype(_F32)
-           * (1.0 - fr)).astype(_BF16)                   # (gi, G)
+    pmaxr = jnp.maximum(p0r, p1r)
+    inv_r = 1.0 / jnp.maximum(pmaxr - pminr, 1e-9)
+    ohr = (jnp.clip((jnp.minimum(hi_r, pmaxr)
+                     - jnp.maximum(lo_r, pminr)) * inv_r, 0.0, 1.0)
+           .astype(_BF16))                               # (gi, G)
 
-    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0)
+    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0).astype(_F32)
     icol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
+    hi_c = jnp.where(grow >= G - 1.0, big, grow + 1.0)
+    lo_c = jnp.where(grow <= 0.0, -big, grow)
     vk = v0 + dv * icol
     p0c = (cx + s0 * vk) * G
     p1c = (cx + s1 * vk) * G
     pminc = jnp.minimum(p0c, p1c)
-    d0c = jnp.clip(jnp.floor(pminc).astype(jnp.int32), 0, G - 1)
-    spanc = jnp.maximum(jnp.abs(p1c - p0c), 1e-9)
-    fc = jnp.clip((d0c.astype(_F32) + 1.0 - pminc) / spanc, 0.0, 1.0)
-    ohct = ((grow == d0c).astype(_F32) * fc
-            + (grow == jnp.clip(d0c + 1, 0, G - 1)).astype(_F32)
-            * (1.0 - fc)).astype(_BF16)                  # (G, gi)
+    pmaxc = jnp.maximum(p0c, p1c)
+    inv_c = 1.0 / jnp.maximum(pmaxc - pminc, 1e-9)
+    ohct = (jnp.clip((jnp.minimum(hi_c, pmaxc)
+                      - jnp.maximum(lo_c, pminc)) * inv_c, 0.0, 1.0)
+            .astype(_BF16))                              # (G, gi)
     return ohr, ohct
 
 
@@ -163,31 +169,34 @@ def _warp_mats_T(cy, cx, s0, s1, u0, du, v0, dv, G: int, gi: int):
     in-kernel transpose relayout): ohrT (G, gi) with ohrT[g, j] = ohr[j, g],
     ohctT (gi, G) with ohctT[i, g] = ohct[g, i]. Used by the backward
     kernel's adjoint warp matmuls."""
-    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0)
+    big = _F32(1e9)
+    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0).astype(_F32)
     jcol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
+    hi_r = jnp.where(grow >= G - 1.0, big, grow + 1.0)
+    lo_r = jnp.where(grow <= 0.0, -big, grow)
     uj = u0 + du * jcol
     p0r = (cy + s0 * uj) * G
     p1r = (cy + s1 * uj) * G
     pminr = jnp.minimum(p0r, p1r)
-    c0r = jnp.clip(jnp.floor(pminr).astype(jnp.int32), 0, G - 1)
-    spanr = jnp.maximum(jnp.abs(p1r - p0r), 1e-9)
-    fr = jnp.clip((c0r.astype(_F32) + 1.0 - pminr) / spanr, 0.0, 1.0)
-    ohrT = ((grow == c0r).astype(_F32) * fr
-            + (grow == jnp.clip(c0r + 1, 0, G - 1)).astype(_F32)
-            * (1.0 - fr)).astype(_BF16)                  # (G, gi)
+    pmaxr = jnp.maximum(p0r, p1r)
+    inv_r = 1.0 / jnp.maximum(pmaxr - pminr, 1e-9)
+    ohrT = (jnp.clip((jnp.minimum(hi_r, pmaxr)
+                      - jnp.maximum(lo_r, pminr)) * inv_r, 0.0, 1.0)
+            .astype(_BF16))                              # (G, gi)
 
     irow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
-    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1)
+    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1).astype(_F32)
+    hi_c = jnp.where(gcol >= G - 1.0, big, gcol + 1.0)
+    lo_c = jnp.where(gcol <= 0.0, -big, gcol)
     vk = v0 + dv * irow
     p0c = (cx + s0 * vk) * G
     p1c = (cx + s1 * vk) * G
     pminc = jnp.minimum(p0c, p1c)
-    d0c = jnp.clip(jnp.floor(pminc).astype(jnp.int32), 0, G - 1)
-    spanc = jnp.maximum(jnp.abs(p1c - p0c), 1e-9)
-    fc = jnp.clip((d0c.astype(_F32) + 1.0 - pminc) / spanc, 0.0, 1.0)
-    ohctT = ((gcol == d0c).astype(_F32) * fc
-             + (gcol == jnp.clip(d0c + 1, 0, G - 1)).astype(_F32)
-             * (1.0 - fc)).astype(_BF16)                 # (gi, G)
+    pmaxc = jnp.maximum(p0c, p1c)
+    inv_c = 1.0 / jnp.maximum(pmaxc - pminc, 1e-9)
+    ohctT = (jnp.clip((jnp.minimum(hi_c, pmaxc)
+                       - jnp.maximum(lo_c, pminc)) * inv_c, 0.0, 1.0)
+             .astype(_BF16))                             # (gi, G)
     return ohrT, ohctT
 
 
@@ -200,26 +209,62 @@ def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
     ]).astype(_F32)
 
 
+def _zb_planes(params, zbounds, G: int, gi: int):
+    """Extend the (2, gi, gi) zbounds block with the two per-frame-constant
+    composite planes, built ONCE in XLA instead of per slab in the kernel
+    (they cost ~10 VPU ops x gi^2 x n_slabs otherwise):
+    plane 2 = dt_pix (per-pixel slab thickness along the ray, world units),
+    plane 3 = the depth-mode tview base (|s| multiplier)."""
+    u0, du, v0, dv = params[3], params[4], params[5], params[6]
+    spp0, spp1, spp2 = params[8], params[9], params[10]
+    ujq = lax.broadcasted_iota(jnp.int32, (gi, gi), 0).astype(_F32)
+    vkq = lax.broadcasted_iota(jnp.int32, (gi, gi), 1).astype(_F32)
+    up_r = u0 + du * ujq
+    vp_r = v0 + dv * vkq
+    up = up_r * spp1
+    vp = vp_r * spp2
+    dt_pix = (1.0 / G) * jnp.sqrt(up * up + vp * vp + spp0 * spp0)
+    tview = jnp.sqrt(1.0 + up_r * up_r + vp_r * vp_r)
+    return jnp.concatenate([zbounds, dt_pix[None], tview[None]])
+
+
 def _make_kernel(G: int, gi: int, D: int, bd: int,
                  perm: Tuple[int, int, int], basis_lo: int, basis_hi: int,
                  sig2: bool, fmt: int, depth: bool,
-                 rot: Optional[Tuple[float, ...]], K: int, flip: bool):
+                 rot: Optional[Tuple[float, ...]], K: int, flip: bool,
+                 static_seq: Optional[Tuple[int, int]] = None):
+    """static_seq=(base, step): the grid step i marches window base+step*i
+    with a full occupancy mask and a STATIC block index map — no scalar
+    prefetch. Mosaic double-buffers a statically-indexed block stream
+    (overlapping each window's 13 MB HBM fetch with the previous window's
+    shading); with prefetched-scalar index maps the stream and compute
+    measure additive. None = dynamic windows via the ids array (sparse
+    scenes with culled slab lists)."""
     slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}  # tree axis -> permuted slot
     from volrend_tpu.models.data_format import BasisType
     bt = BasisType(fmt)
     # march order inside a K-aligned window
     dz_order = range(K - 1, -1, -1) if flip else range(K)
 
-    def kernel(ids_ref, params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
-               accin_ref, acc_ref):
+    def kernel(*refs):
+        if static_seq is None:
+            (ids_ref, params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
+             accin_ref, acc_ref) = refs
+        else:
+            (params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
+             accin_ref, acc_ref) = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
             acc_ref[...] = accin_ref[...]
 
-        wid = ids_ref[2 * i]        # window index (block = K slabs), or -1
-        wmask = ids_ref[2 * i + 1]  # bit dz set = slab wid*K+dz occupied
+        if static_seq is None:
+            wid = ids_ref[2 * i]        # window index (K slabs), or -1
+            wmask = ids_ref[2 * i + 1]  # bit dz set = slab occupied
+        else:
+            wid = static_seq[0] + static_seq[1] * i
+            wmask = (1 << K) - 1
 
         def _slab(wid, wmask, dzi):
             sid = wid * K + dzi
@@ -327,13 +372,9 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 jnp.dot(ohr, w1[(c + 1) * G:(c + 2) * G],
                         preferred_element_type=_F32) for c in range(3)]
 
-            # per-pixel slab thickness along the ray (world units)
-            ujq = lax.broadcasted_iota(jnp.int32, (gi, gi), 0).astype(_F32)
-            vkq = lax.broadcasted_iota(jnp.int32, (gi, gi), 1).astype(_F32)
-            up = (u0 + du * ujq) * spp1
-            vp = (v0 + dv * vkq) * spp2
-            dt_pix = (1.0 / G) * jnp.sqrt(up * up + vp * vp + spp0 * spp0)
-            tau_w = sig_w * dt_pix
+            # per-pixel slab thickness along the ray: per-frame constant,
+            # prebuilt by _zb_planes (resident zbounds block, plane 2)
+            tau_w = sig_w * zb_ref[2]
             att = jnp.exp(-tau_w)
             sig_inv = 1.0 / jnp.maximum(sig_w, 1e-12)
 
@@ -344,10 +385,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                  & (tau_w > 0.0))
             w = jnp.where(m, T * (1.0 - att), 0.0)
             if depth:
-                up_r = u0 + du * ujq
-                vp_r = v0 + dv * vkq
-                tview = jnp.abs(s) * jnp.sqrt(
-                    1.0 + up_r * up_r + vp_r * vp_r)
+                tview = jnp.abs(s) * zb_ref[3]
                 acc_ref[0] = acc_ref[0] + w * tview
             else:
                 wn = w * sig_inv
@@ -355,8 +393,12 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     acc_ref[c] = acc_ref[c] + wn * srgb_w[c]
             acc_ref[3] = jnp.where(m, T * att, T)
 
-        @pl.when(wid >= 0)
-        def _body():
+        if static_seq is None:
+            @pl.when(wid >= 0)
+            def _body():
+                for dzi in dz_order:
+                    _slab(wid, wmask, dzi)
+        else:
             for dzi in dz_order:
                 _slab(wid, wmask, dzi)
 
@@ -380,7 +422,7 @@ def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
             pl.BlockSpec((K, Dp, G, G),
                          lambda i, ids: (jnp.maximum(ids[2 * i], 0),
                                          0, 0, 0)),
-            pl.BlockSpec((2, gi, gi), lambda i, ids: (0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
             pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
@@ -393,6 +435,39 @@ def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_FORCE_INTERPRET,
     )(ids_chunk, params, qscale, extra, gplanar, zbounds, acc)
+
+
+def _chunk_call_static(kernel, n_win: int, params, qscale, extra, gplanar,
+                       zbounds, acc, G: int, gi: int, Dp: int, K: int,
+                       base: int, step: int):
+    """One chunked dispatch over a STATIC contiguous window run.
+
+    The block index map is pure program-id arithmetic (base + step * i
+    with python-int base/step), which lets Mosaic double-buffer the block
+    stream — the payload DMA overlaps the previous window's shading. The
+    scalar-prefetch variant (_chunk_call) measures DMA + compute additive."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_win,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, Dp, G, G),
+                         lambda i: (base + step * i, 0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, gi, gi), _F32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_FORCE_INTERPRET,
+    )(params, qscale, extra, gplanar, zbounds, acc)
 
 
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
@@ -450,6 +525,38 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     wins = np.asarray(win_order, np.int32)
     masks = np.asarray([win_mask[w] for w in win_order], np.int32)
 
+    # STATIC path: a contiguous full-mask window run (dense scene, nothing
+    # culled) marches with static block index maps — Mosaic double-buffers
+    # the stream, overlapping each window's HBM fetch with compute. The
+    # prefetched-ids path below measures DMA + compute additive.
+    step = -1 if flip else 1
+    if (len(wins) and all(m == (1 << K) - 1 for m in masks)
+            and np.all(np.diff(wins) == step)):
+        stop_thresh = params[15]
+        z_lo, z_hi = zbounds[0], zbounds[1]
+        valid_pix = z_lo <= z_hi
+        zb4 = _zb_planes(params, zbounds, G, gi)
+        wpc = max(1, _CHUNK // K)
+        acc = acc0
+        for c0 in range(0, len(wins), wpc):
+            run = wins[c0:c0 + wpc]
+            base = int(run[0])
+            kern = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
+                                sig2, fmt, depth, rot, K, flip,
+                                static_seq=(base, step))
+            zvals = (run * K + np.arange(K)[:, None] + 0.5).ravel() / G
+            zmin, zmax = float(zvals.min()), float(zvals.max())
+            live = jnp.any(valid_pix & (acc[3] >= stop_thresh)
+                           & (z_hi >= zmin) & (z_lo <= zmax))
+            acc = lax.cond(
+                live,
+                lambda a, kern=kern, run=run, base=base: _chunk_call_static(
+                    kern, len(run), params, qscale, extra, gplanar, zb4, a,
+                    G, gi, Dp, K, base, step),
+                lambda a: a,
+                acc)
+        return acc
+
     wpc = max(1, _CHUNK // K)                   # windows per chunk
     n_chunks = -(-len(wins) // wpc)
     pad = n_chunks * wpc
@@ -479,6 +586,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     stop_thresh = params[15]
     z_lo, z_hi = zbounds[0], zbounds[1]
     valid_pix = z_lo <= z_hi
+    zbounds = _zb_planes(params, zbounds, G, gi)
 
     def live(T, zmin, zmax):
         """Any pixel that can still accumulate within slab-z range
@@ -534,8 +642,9 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
     from volrend_tpu.models.data_format import BasisType
     bt = BasisType(fmt)
     dz_order = range(K - 1, -1, -1) if flip else range(K)
+    n_win = G // K
 
-    def kernel(ids_ref, params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
+    def kernel(params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
                gacc_ref, aux_ref, out_ref, state_ref):
         i = pl.program_id(0)
 
@@ -544,7 +653,9 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             state_ref[0] = jnp.ones((gi, gi), _F32)      # T
             state_ref[1] = jnp.zeros((gi, gi), _F32)     # A
 
-        wid = ids_ref[i]
+        # static window sequence (training never culls): static block index
+        # maps let Mosaic double-buffer the in/out block streams
+        wid = (n_win - 1 - i) if flip else i
 
         def _slab_bwd(dzi):
             sid = wid * K + dzi
@@ -633,11 +744,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
                               preferred_element_type=_F32)
                       for c in range(3)]
 
-            ujq = lax.broadcasted_iota(jnp.int32, (gi, gi), 0).astype(_F32)
-            vkq = lax.broadcasted_iota(jnp.int32, (gi, gi), 1).astype(_F32)
-            up = (u0 + du * ujq) * spp1
-            vp = (v0 + dv * vkq) * spp2
-            dt_pix = (1.0 / G) * jnp.sqrt(up * up + vp * vp + spp0 * spp0)
+            dt_pix = zb_ref[2]          # per-frame plane (_zb_planes)
             tau_w = sig_w * dt_pix
             att = jnp.exp(-tau_w)
             sig_inv = 1.0 / jnp.maximum(sig_w, 1e-12)
@@ -755,30 +862,27 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
     ctot = jnp.sum(gacc4[:3] * acc4[:3], axis=0)
     gT_term = gacc4[3] * acc4[3]
     aux = jnp.stack([ctot, gT_term])
+    zbounds = _zb_planes(params, zbounds, G, gi)
 
     nwin = G // K
-    wids = np.arange(nwin, dtype=np.int32)
-    if flip:
-        wids = wids[::-1].copy()
-    ids_dev = jnp.asarray(wids)
+    widx = ((lambda i: (nwin - 1 - i, 0, 0, 0)) if flip
+            else (lambda i: (i, 0, 0, 0)))
 
     kernel = _make_bwd_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
                               fmt, rot, K, flip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(nwin,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, Dp, G, G),
-                         lambda i, ids: (ids[i], 0, 0, 0)),
-            pl.BlockSpec((2, gi, gi), lambda i, ids: (0, 0, 0)),
-            pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
-            pl.BlockSpec((2, gi, gi), lambda i, ids: (0, 0, 0)),
+            pl.BlockSpec((K, Dp, G, G), widx),
+            pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gi, gi), lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((K, Dp, G, G),
-                               lambda i, ids: (ids[i], 0, 0, 0)),
+        out_specs=pl.BlockSpec((K, Dp, G, G), widx),
         scratch_shapes=[pltpu.VMEM((2, gi, gi), _F32)],
     )
     return pl.pallas_call(
@@ -788,5 +892,5 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_FORCE_INTERPRET,
-    )(ids_dev, params, qscale, extra, gplanar, zbounds,
+    )(params, qscale, extra, gplanar, zbounds,
       gacc4.astype(_F32), aux)

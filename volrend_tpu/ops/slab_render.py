@@ -129,6 +129,9 @@ def _boxtap(p0, p1, G: int):
     Returns (c0, c1, f): value = f * field[c0] + (1 - f) * field[c1].
     Exact when the span crosses at most one cell boundary (|p1 - p0| <= 1);
     the slab axis is chosen so per-slab spans stay near/below one voxel.
+    Out-of-grid span mass clamps to the edge cells — the octree query
+    clamps positions into [0, 1)^3 (n3tree_query.hpp:17-19), so the exact
+    renderer reads edge voxels there too.
     """
     pmin = jnp.minimum(p0, p1)
     pmax = jnp.maximum(p0, p1)
@@ -173,12 +176,60 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
     (N, H, W, 4)."""
     use_pallas = _pallas_ok(grid, opt)
     gdata = _permuted_grid(grid, perm, use_pallas)
+    transforms = jnp.asarray(transforms, _F32)
 
-    def one(tr):
-        return _render_frame_impl(grid, gdata, tr, fx, fy, perm, flip,
-                                  width, height, opt, gi, use_pallas)
+    if not use_pallas:
+        def one(tr):
+            return _render_frame_impl(grid, gdata, tr, fx, fy, perm, flip,
+                                      width, height, opt, gi, use_pallas)
 
-    return lax.map(one, jnp.asarray(transforms, _F32))
+        return lax.map(one, transforms)
+
+    # Pallas path: vmap the per-pose geometry (FrameGeom is a few hundred
+    # scalar-size ops; serialized inside lax.map they cost ~0.2 ms/frame of
+    # op dispatch), then map the march+warp over the stacked fields.
+    from volrend_tpu.ops import pallas_slab
+    payload, _ = gdata
+    G = grid.G
+    scale = grid.scale
+    slab_ids = grid.slab_ids(perm[0], flip, opt.sigma_thresh)
+    blo, bhi = opt.basis_minmax
+    rotm = _rodrigues(opt.rot_dirs)
+    rot = (None if rotm is None
+           else tuple(float(v) for v in rotm.reshape(-1)))
+
+    def fields(tr):
+        g = FrameGeom(grid, tr, fx, fy, perm, flip, width, height, opt, gi)
+        inv_scale_t = 1.0 / g.scale
+        params = pallas_slab._pack_params(
+            g.cz, g.cy, g.cx, g.u0, g.du, g.v0, g.dv,
+            jnp.asarray(-1.0 if flip else 1.0),
+            (inv_scale_t[perm[0]], inv_scale_t[perm[1]],
+             inv_scale_t[perm[2]]),
+            (inv_scale_t[0], inv_scale_t[1], inv_scale_t[2]),
+            jnp.asarray(opt.sigma_thresh), jnp.asarray(opt.stop_thresh),
+            g.lo[1], g.hi[1], g.lo[2], g.hi[2])
+        zb = jnp.stack([g.z_lo_pix, g.z_hi_pix])
+        return params, zb, g.R, g.u0, g.du, g.v0, g.dv
+
+    stacked = jax.vmap(fields)(transforms)
+
+    def one(args):
+        params, zb, R, u0, du, v0, dv = args
+        acc4 = pallas_slab.march_slabs(
+            payload, params, grid.qscale, zb, G, gi, grid.data_dim,
+            grid.basis_dim, perm, slab_ids=slab_ids,
+            basis_lo=int(blo), basis_hi=int(bhi), sig2=grid.quantized,
+            extra=grid.extra, fmt=int(grid.fmt),
+            depth=bool(opt.render_depth), rot=rot, flip=flip)
+        acc = jnp.moveaxis(acc4[:3], 0, -1)
+        T = acc4[3]
+        stopped = T < _F32(opt.stop_thresh)
+        return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
+                                  width, height, gi, perm, u0, du, v0, dv,
+                                  scale)
+
+    return lax.map(one, stacked)
 
 
 def _pallas_ok(grid: DenseGrid, opt: RenderOptions) -> bool:
