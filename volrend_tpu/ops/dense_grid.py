@@ -148,11 +148,22 @@ def bake_dense(tree, G: Optional[int] = None,
         # than 8 bits, and keeping it inside the one payload array preserves
         # the march kernel's single streamed input (a separate per-slab
         # sigma input measurably breaks the DMA pipeline)
+        bd = dev.basis_dim
+
         @jax.jit
         def quantize(d):
             df = d.astype(jnp.float32)
             cols = df[..., :-1]
             absmax = jnp.max(jnp.abs(cols), axis=(0, 1, 2))
+            if bd > 0 and dev.data_dim == 3 * bd + 1:
+                # share each basis function's scale across rgb: the march
+                # kernel then scales the BASIS plane once per k instead of
+                # dequantizing 3 channel planes separately (48 -> 16 plane
+                # multiplies per slab); costs <=log2(brightest/dimmest
+                # channel) bits on the dimmer channels
+                am = absmax.reshape(3, bd)
+                absmax = jnp.broadcast_to(
+                    jnp.max(am, axis=0, keepdims=True), (3, bd)).reshape(-1)
             qs_c = jnp.maximum(absmax, 1e-12) / 127.0
             codes = jnp.clip(jnp.round(cols / qs_c),
                              -127, 127).astype(jnp.int8)

@@ -350,10 +350,14 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 for k, bk in planes:
                     if k < basis_lo or k > basis_hi:
                         continue
+                    # bake_dense shares each basis function's dequant scale
+                    # across rgb (qs[c*bd+k] identical for all c), so the
+                    # basis plane is scaled once per k instead of
+                    # dequantizing three channel planes separately
+                    bkq = bk * qs_ref[k]
                     for c in range(3):
                         raw[c] = raw[c] + (
-                            slab_ref[dzi, c * bd + k].astype(_F32)
-                            * qs_ref[c * bd + k]) * bk
+                            slab_ref[dzi, c * bd + k].astype(_F32) * bkq)
                 srgb = [sigma * jax.nn.sigmoid(r) for r in raw]
 
             # box-integration two-tap warp matrices (exact per-voxel DDA
