@@ -367,3 +367,28 @@ def test_full_resolution_800_parity():
     got = frame[ys][:, xs].reshape(-1, 4)
     p = psnr(got[:, :3], exact[:, :3])
     assert p > 40.0, f"800^2 slab-vs-exact PSNR {p:.1f} dB"
+
+
+def test_pallas_static_matches_dynamic_dispatch(scene, monkeypatch):
+    """The static-index window path (dense contiguous runs) and the
+    scalar-prefetch path must produce bit-identical marches — they share
+    the per-slab kernel body and differ only in how block indices reach
+    Mosaic."""
+    import jax
+    from volrend_tpu.ops import pallas_slab
+    dev, grid = scene
+    cam = make_cam((1, 0.25, 0.35))
+    opt = RenderOptions(max_steps=512)
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        assert slab_render._pallas_ok(grid, opt)
+        a = slab_render.render_image(grid, cam, opt, gi=96)
+        monkeypatch.setattr(pallas_slab, "_FORCE_DYNAMIC", True)
+        jax.clear_caches()
+        b = slab_render.render_image(grid, cam, opt, gi=96)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_DYNAMIC", False)
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    np.testing.assert_array_equal(a, b)

@@ -78,9 +78,7 @@ def main():
         b, j = cx // 2, cx % 2
         return a * 32 + b * 16 + i * 8 + j * 4 + c
 
-    def sub_slopes(tr, p, q):
-        gg = slab_render.FrameGeom(grid, tr, fx, fy, perm, flip, W, H,
-                                   opt, gi)
+    def sub_slopes(gg, p, q):
         xs = (jnp.arange(Wh, dtype=jnp.float32) * 2 + q - 0.5 * W) / gg.fx
         ys = -(jnp.arange(Hh, dtype=jnp.float32) * 2 + p - 0.5 * H) / gg.fy
         d_cam = jnp.stack([
@@ -96,7 +94,9 @@ def main():
                 jnp.clip(gx, 0.0, gi - 1 - 1e-6), ok)
 
     def gather_blocks(it, tr):
-        subs = [[sub_slopes(tr, p, q) for q in range(2)] for p in range(2)]
+        gg = slab_render.FrameGeom(grid, tr, fx, fy, perm, flip, W, H,
+                                   opt, gi)
+        subs = [[sub_slopes(gg, p, q) for q in range(2)] for p in range(2)]
         gymin = jnp.minimum(jnp.minimum(subs[0][0][0], subs[0][1][0]),
                             jnp.minimum(subs[1][0][0], subs[1][1][0]))
         gxmin = jnp.minimum(jnp.minimum(subs[0][0][1], subs[0][1][1]),

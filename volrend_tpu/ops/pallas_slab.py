@@ -67,6 +67,10 @@ _CHUNK = 128
 #: = DMA/compute overlap; too much starves other buffers)
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+#: test hook: force the scalar-prefetch (dynamic window list) dispatch even
+#: for contiguous full-mask runs, so tests can pin static == dynamic
+_FORCE_DYNAMIC = False
+
 
 def available() -> bool:
     if _FORCE_INTERPRET:
@@ -534,7 +538,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     # the stream, overlapping each window's HBM fetch with compute. The
     # prefetched-ids path below measures DMA + compute additive.
     step = -1 if flip else 1
-    if (len(wins) and all(m == (1 << K) - 1 for m in masks)
+    if (not _FORCE_DYNAMIC and len(wins)
+            and all(m == (1 << K) - 1 for m in masks)
             and np.all(np.diff(wins) == step)):
         stop_thresh = params[15]
         z_lo, z_hi = zbounds[0], zbounds[1]
