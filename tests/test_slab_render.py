@@ -392,3 +392,39 @@ def test_pallas_static_matches_dynamic_dispatch(scene, monkeypatch):
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
     np.testing.assert_array_equal(a, b)
+
+
+def test_solid_scene_sparse_and_matches_exact():
+    """make_solid_tree must have realistic occupancy statistics (empty
+    space + solid objects, unlike the fog of make_blob_scene) and render
+    identically through the slab path."""
+    from volrend_tpu.models.synthetic import make_solid_tree
+    tree = make_solid_tree(max_depth=4, basis_dim=4, seed=3)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    G = grid.G
+    sig = np.asarray(grid.data[..., -1], np.float32)
+    occ = float((sig > 1e-2).mean())
+    assert occ < 0.3, f"solid scene occupancy {occ:.2f} not sparse"
+    # some slabs must be fully empty (culled by slab_ids)
+    ids = grid.slab_ids(0, False, 1e-2)
+    assert 0 < len(ids) < G
+    cam = make_cam((1, 0.3, 0.4))
+    opt = RenderOptions(max_steps=512)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    p = psnr(out[..., :3], ref[..., :3])
+    assert p > 30.0, f"solid-scene slab PSNR {p:.1f}"
+
+
+def test_pallas_interpret_solid_scene_partial_masks(monkeypatch):
+    """The static-index path with PARTIAL occupancy masks (sparse scene:
+    per-slab @pl.when gating + zero-mask gap windows) must match the XLA
+    slab path."""
+    from volrend_tpu.models.synthetic import make_solid_tree
+    tree = make_solid_tree(max_depth=4, basis_dim=4, seed=3)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    cam = make_cam((1, 0.3, 0.4), width=32, height=32)
+    _interpret_vs_xla(grid, cam, RenderOptions(max_steps=512), monkeypatch,
+                      gate=40.0)

@@ -1,0 +1,102 @@
+"""Static-path chunk-size sweep: early-exit granularity vs dispatch cost.
+
+The march processes every occupied slab even after all rays saturate;
+chunk boundaries are the only early-exit points. Smaller chunks = finer
+exit granularity but more pallas_call dispatches (pipeline ramp each).
+Also prints the mean saturated-slab depth to show the available headroom.
+"""
+
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import bench as bench_mod
+from volrend_tpu.ops import dense_grid, slab_render, pallas_slab
+from volrend_tpu.utils.options import RenderOptions
+
+t0 = time.perf_counter()
+def log(m):
+    print(f"[+{time.perf_counter()-t0:6.1f}s] {m}", flush=True)
+
+FLOOR = 0.027
+def sync_time(fn, *args, reps=3):
+    out = fn(*args)
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    ts = []
+    for _i in range(reps):
+        tt = time.perf_counter()
+        out = fn(*args)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        ts.append(time.perf_counter() - tt - FLOOR)
+    return min(ts)
+
+
+def main():
+    W = H = 800
+    gi = 448
+    tree = bench_mod.get_tree()
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev, dtype="int8")
+    G = grid.G
+    opt = RenderOptions(max_steps=1024)
+    cams = bench_mod.orbit_poses(96)
+    cam = cams[0]
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    same = [c for c in cams if slab_render.choose_axis(
+        grid, c.transform, c.fx, c.fy, W, H)[:2] == (perm, flip)]
+    trs = jnp.asarray(np.stack([c.transform for c in same]), jnp.float32)
+    n = len(same)
+    fx, fy = cam.fx, cam.fy
+    log(f"setup done; {n} poses")
+
+    payload, _ = slab_render._permuted_grid(grid, perm, True)
+    payload.block_until_ready()
+    slab_ids = grid.slab_ids(perm[0], flip, opt.sigma_thresh)
+
+    # saturation headroom: render one pose, find per-pixel T; then march
+    # z-profile of live fraction via the XLA path accumulator is overkill -
+    # just report final T stats (how much of the frame saturates at all)
+    img = slab_render.render_frame(grid, jnp.asarray(cam.transform), fx,
+                                   fy, perm, flip, W, H, opt, gi=gi)
+    alpha = np.asarray(img[..., 3])
+    log(f"final alpha: mean {alpha.mean():.3f}, frac>=0.99 "
+        f"{(alpha >= 0.99).mean():.3f}")
+
+    def march_one(pay, tr):
+        g = slab_render.FrameGeom(grid, tr, fx, fy, perm, flip, W, H, opt,
+                                  gi)
+        inv_scale_t = 1.0 / g.scale
+        params = pallas_slab._pack_params(
+            g.cz, g.cy, g.cx, g.u0, g.du, g.v0, g.dv,
+            jnp.asarray(-1.0 if flip else 1.0),
+            (inv_scale_t[perm[0]], inv_scale_t[perm[1]],
+             inv_scale_t[perm[2]]),
+            (inv_scale_t[0], inv_scale_t[1], inv_scale_t[2]),
+            jnp.asarray(opt.sigma_thresh), jnp.asarray(opt.stop_thresh),
+            g.lo[1], g.hi[1], g.lo[2], g.hi[2])
+        zb = jnp.stack([g.z_lo_pix, g.z_hi_pix])
+        acc4 = pallas_slab.march_slabs(
+            pay, params, grid.qscale, zb, G, gi, grid.data_dim,
+            grid.basis_dim, perm, slab_ids=slab_ids, sig2=grid.quantized,
+            flip=flip)
+        return jnp.sum(acc4, dtype=jnp.float32)
+
+    for chunk, vmem in ((128, 100), (128, 120), (256, 100), (256, 120)):
+        pallas_slab._CHUNK = chunk
+        pallas_slab._VMEM_LIMIT = vmem * 1024 * 1024
+        jax.clear_caches()
+        f = jax.jit(lambda pay, ts: lax.map(
+            lambda tr: march_one(pay, tr), ts))
+        t = sync_time(f, payload, trs, reps=3)
+        log(f"CHUNK={chunk:4d} vmem={vmem}: {t/n*1e3:7.2f} ms/frame")
+    pallas_slab._CHUNK = 128
+    pallas_slab._VMEM_LIMIT = 100 * 1024 * 1024
+
+
+if __name__ == "__main__":
+    main()

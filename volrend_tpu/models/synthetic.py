@@ -16,7 +16,8 @@ import numpy as np
 from volrend_tpu.models.data_format import BasisType, DataFormat
 from volrend_tpu.models.n3tree import N3Tree
 
-__all__ = ["build_tree", "make_blob_scene", "make_test_tree"]
+__all__ = ["build_tree", "make_blob_scene", "make_test_tree",
+           "make_solid_scene", "make_solid_tree"]
 
 
 def build_tree(
@@ -135,6 +136,81 @@ def make_blob_scene(n_blobs: int = 5, seed: int = 0, sigma_scale: float = 40.0):
         return leaf_fn
 
     return density, refine, leaf_fn_factory
+
+
+def make_solid_scene(n_blobs: int = 6, seed: int = 0,
+                     sigma_scale: float = 150.0, cut: float = 1.0):
+    """Objects-with-empty-space scene: a hard-thresholded blob union.
+
+    ``make_blob_scene`` produces smooth fog filling nearly the whole bbox
+    (97% voxel occupancy at bench settings) — real PlenOctree assets are
+    the opposite: opaque objects with crisp silhouettes surrounded by empty
+    space, stored fine at surfaces and coarse inside. This scene has that
+    statistic: density = sigma_scale * max(0, raw - cut) where raw is the
+    gaussian-blob sum, so the object is the {raw > cut} region (solid,
+    rays saturate at the surface) and everything else is exactly zero.
+    The refine predicate subdivides only where a cell can STRADDLE the
+    cut — interiors and empty space stay coarse, like svox-trained trees.
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0.3, 0.7, (n_blobs, 3))
+    radii = rng.uniform(0.08, 0.18, n_blobs)
+    amps = rng.uniform(0.6, 1.2, n_blobs)
+
+    def raw(pts: np.ndarray) -> np.ndarray:
+        d2 = ((pts[:, None, :] - centers[None]) ** 2).sum(-1)
+        return (amps * np.exp(-0.5 * d2 / radii[None] ** 2)).sum(-1)
+
+    def density(pts: np.ndarray) -> np.ndarray:
+        return sigma_scale * np.maximum(0.0, raw(pts) - cut)
+
+    def refine(centers_pts: np.ndarray, cell_size: float, depth: int):
+        # subdivide only where the cell can straddle the surface {raw=cut}:
+        # upper bound (nearest-point) above cut AND lower bound (farthest-
+        # point) below it — interiors and empty space keep coarse leaves
+        half_diag = 0.5 * np.sqrt(3.0) * cell_size
+        d = np.sqrt(((centers_pts[:, None, :] - centers[None]) ** 2)
+                    .sum(-1))
+        d_near = np.maximum(d - half_diag, 0.0)
+        d_far = d + half_diag
+        ub = (amps * np.exp(-0.5 * d_near ** 2
+                            / radii[None] ** 2)).sum(-1)
+        lb = (amps * np.exp(-0.5 * d_far ** 2 / radii[None] ** 2)).sum(-1)
+        return (ub > cut) & (lb < cut)
+
+    def leaf_fn_factory(basis_dim: int, coeff_seed: int = 1):
+        crng = np.random.default_rng(coeff_seed)
+        freqs = crng.uniform(2.0, 9.0, (basis_dim, 3, 3))
+        phases = crng.uniform(0.0, 2 * np.pi, (basis_dim, 3))
+        scales = 1.5 / (1.0 + np.arange(basis_dim)) ** 1.2
+        data_dim = 3 * basis_dim + 1
+
+        def leaf_fn(pts: np.ndarray, cell_size: float) -> np.ndarray:
+            out = np.zeros((pts.shape[0], data_dim), np.float32)
+            for k in range(basis_dim):
+                for c in range(3):
+                    out[:, c * basis_dim + k] = scales[k] * np.sin(
+                        pts @ freqs[k, c] + phases[k, c])
+            out[:, -1] = density(pts)
+            return out
+
+        return leaf_fn
+
+    return density, refine, leaf_fn_factory
+
+
+def make_solid_tree(max_depth: int = 4, basis_dim: int = 9, seed: int = 0,
+                    n_blobs: int = 6, sigma_scale: float = 150.0,
+                    cut: float = 1.0) -> N3Tree:
+    """Convenience: a solid-object tree (realistic occupancy statistics)."""
+    _, refine, leaf_factory = make_solid_scene(
+        n_blobs=n_blobs, seed=seed, sigma_scale=sigma_scale, cut=cut)
+    data_dim = 3 * basis_dim + 1
+    return build_tree(
+        refine, leaf_factory(basis_dim, coeff_seed=seed + 1),
+        max_depth=max_depth, data_dim=data_dim,
+        data_format=DataFormat(BasisType.SH, basis_dim),
+    )
 
 
 def make_test_tree(max_depth: int = 4, basis_dim: int = 9, seed: int = 0,

@@ -236,7 +236,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                  perm: Tuple[int, int, int], basis_lo: int, basis_hi: int,
                  sig2: bool, fmt: int, depth: bool,
                  rot: Optional[Tuple[float, ...]], K: int, flip: bool,
-                 static_seq: Optional[Tuple[int, int]] = None):
+                 static_seq: Optional[Tuple[int, int]] = None,
+                 gate_slabs: bool = True):
     """static_seq=(base, step): the grid step i marches window base+step*i
     with a full occupancy mask and a STATIC block index map — no scalar
     prefetch. Mosaic double-buffers a statically-indexed block stream
@@ -255,7 +256,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             (ids_ref, params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
              accin_ref, acc_ref) = refs
         else:
-            (params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
+            (mask_ref, params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
              accin_ref, acc_ref) = refs
         i = pl.program_id(0)
 
@@ -268,7 +269,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             wmask = ids_ref[2 * i + 1]  # bit dz set = slab occupied
         else:
             wid = static_seq[0] + static_seq[1] * i
-            wmask = (1 << K) - 1
+            wmask = mask_ref[i]
 
         def _slab(wid, wmask, dzi):
             sid = wid * K + dzi
@@ -401,14 +402,26 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     acc_ref[c] = acc_ref[c] + wn * srgb_w[c]
             acc_ref[3] = jnp.where(m, T * att, T)
 
+        def _masked_slabs():
+            # per-slab occupancy gate (only emitted when some window's mask
+            # is partial — the scalar branches cost ~5% on dense scenes):
+            # an empty slab inside a streamed window skips its whole
+            # shade+warp+composite (correct because occupied=0 forces
+            # sigma=0 -> zero weight -> acc unchanged)
+            for dzi in dz_order:
+                if gate_slabs:
+                    @pl.when(((wmask >> dzi) & 1) > 0)
+                    def _one(dzi=dzi):
+                        _slab(wid, wmask, dzi)
+                else:
+                    _slab(wid, wmask, dzi)
+
         if static_seq is None:
             @pl.when(wid >= 0)
             def _body():
-                for dzi in dz_order:
-                    _slab(wid, wmask, dzi)
+                _masked_slabs()
         else:
-            for dzi in dz_order:
-                _slab(wid, wmask, dzi)
+            _masked_slabs()
 
     return kernel
 
@@ -445,7 +458,7 @@ def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
     )(ids_chunk, params, qscale, extra, gplanar, zbounds, acc)
 
 
-def _chunk_call_static(kernel, n_win: int, params, qscale, extra, gplanar,
+def _chunk_call_static(kernel, masks, params, qscale, extra, gplanar,
                        zbounds, acc, G: int, gi: int, Dp: int, K: int,
                        base: int, step: int):
     """One chunked dispatch over a STATIC contiguous window run.
@@ -453,11 +466,15 @@ def _chunk_call_static(kernel, n_win: int, params, qscale, extra, gplanar,
     The block index map is pure program-id arithmetic (base + step * i
     with python-int base/step), which lets Mosaic double-buffer the block
     stream — the payload DMA overlaps the previous window's shading. The
-    scalar-prefetch variant (_chunk_call) measures DMA + compute additive."""
+    scalar-prefetch variant (_chunk_call) measures DMA + compute additive.
+    Per-window occupancy bitmasks ride in SMEM (scalar reads in the kernel
+    body don't constrain the pipeline the way prefetched index maps do)."""
+    n_win = masks.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_win,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -475,7 +492,7 @@ def _chunk_call_static(kernel, n_win: int, params, qscale, extra, gplanar,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_FORCE_INTERPRET,
-    )(params, qscale, extra, gplanar, zbounds, acc)
+    )(masks, params, qscale, extra, gplanar, zbounds, acc)
 
 
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
@@ -514,8 +531,6 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     K = max(1, min(k_per_step, G))
     while G % K:
         K -= 1
-    kernel = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi, sig2,
-                          fmt, depth, rot, K, flip)
 
     acc0 = jnp.concatenate([
         jnp.zeros((3, gi, gi), _F32), jnp.ones((1, gi, gi), _F32)])
@@ -533,35 +548,64 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     wins = np.asarray(win_order, np.int32)
     masks = np.asarray([win_mask[w] for w in win_order], np.int32)
 
-    # STATIC path: a contiguous full-mask window run (dense scene, nothing
-    # culled) marches with static block index maps — Mosaic double-buffers
-    # the stream, overlapping each window's HBM fetch with compute. The
-    # prefetched-ids path below measures DMA + compute additive.
+    stop_thresh = params[15]
+    z_lo, z_hi = zbounds[0], zbounds[1]
+    valid_pix = z_lo <= z_hi
+    zbounds = _zb_planes(params, zbounds, G, gi)
+
+    def live(T, zmin, zmax):
+        """Any pixel that can still accumulate within slab-z range
+        [zmin, zmax]?"""
+        return jnp.any(valid_pix & (T >= stop_thresh)
+                       & (z_hi >= zmin) & (z_lo <= zmax))
+
+    # STATIC path: a contiguous window run (the march's window list is a
+    # single z-range — always true for dense scenes, and for any scene
+    # whose occupied slabs span one interval) marches with static block
+    # index maps — Mosaic double-buffers the stream, overlapping each
+    # window's HBM fetch with compute; per-window occupancy masks ride in
+    # SMEM and gate whole slabs. The prefetched-ids path below (arbitrary
+    # window lists) measures DMA + compute additive.
     step = -1 if flip else 1
-    if (not _FORCE_DYNAMIC and len(wins)
-            and all(m == (1 << K) - 1 for m in masks)
-            and np.all(np.diff(wins) == step)):
-        stop_thresh = params[15]
-        z_lo, z_hi = zbounds[0], zbounds[1]
-        valid_pix = z_lo <= z_hi
-        zb4 = _zb_planes(params, zbounds, G, gi)
+    use_static = not _FORCE_DYNAMIC and len(wins) > 0
+    if use_static:
+        # pad interior gaps (fully-empty windows between occupied ones)
+        # with zero masks so the run stays contiguous; bail to the dynamic
+        # path when the gaps would waste >25% of the stream
+        wins_f = np.arange(wins[0], wins[-1] + step, step, np.int32)
+        if len(wins_f) <= len(wins) + max(2, len(wins) // 4):
+            mask_map = dict(zip(wins.tolist(), masks.tolist()))
+            masks_f = np.asarray([mask_map.get(int(w), 0) for w in wins_f],
+                                 np.int32)
+        else:
+            use_static = False
+    if use_static:
         wpc = max(1, _CHUNK // K)
         acc = acc0
-        for c0 in range(0, len(wins), wpc):
-            run = wins[c0:c0 + wpc]
+        for c0 in range(0, len(wins_f), wpc):
+            run = wins_f[c0:c0 + wpc]
+            mrun = masks_f[c0:c0 + wpc]
+            # z coverage of the chunk's OCCUPIED slabs (matches the
+            # dynamic path's per-chunk live() ranges)
+            sids = np.asarray([w * K + dz for wi, w in enumerate(run)
+                               for dz in range(K)
+                               if (mrun[wi] >> dz) & 1])
+            if sids.size == 0:
+                continue
             base = int(run[0])
+            full = (1 << K) - 1
             kern = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
                                 sig2, fmt, depth, rot, K, flip,
-                                static_seq=(base, step))
-            zvals = (run * K + np.arange(K)[:, None] + 0.5).ravel() / G
-            zmin, zmax = float(zvals.min()), float(zvals.max())
-            live = jnp.any(valid_pix & (acc[3] >= stop_thresh)
-                           & (z_hi >= zmin) & (z_lo <= zmax))
+                                static_seq=(base, step),
+                                gate_slabs=bool(np.any(mrun != full)))
+            zvals = (sids + 0.5) / G
+            mdev = jnp.asarray(mrun)
             acc = lax.cond(
-                live,
-                lambda a, kern=kern, run=run, base=base: _chunk_call_static(
-                    kern, len(run), params, qscale, extra, gplanar, zb4, a,
-                    G, gi, Dp, K, base, step),
+                live(acc[3], float(zvals.min()), float(zvals.max())),
+                lambda a, kern=kern, mdev=mdev, base=base:
+                    _chunk_call_static(
+                        kern, mdev, params, qscale, extra, gplanar,
+                        zbounds, a, G, gi, Dp, K, base, step),
                 lambda a: a,
                 acc)
         return acc
@@ -591,17 +635,9 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     rem_zmin_d = jnp.asarray(rem_zmin, _F32)
     rem_zmax_d = jnp.asarray(rem_zmax, _F32)
     ids_dev = jnp.asarray(ids_mat)
-
-    stop_thresh = params[15]
-    z_lo, z_hi = zbounds[0], zbounds[1]
-    valid_pix = z_lo <= z_hi
-    zbounds = _zb_planes(params, zbounds, G, gi)
-
-    def live(T, zmin, zmax):
-        """Any pixel that can still accumulate within slab-z range
-        [zmin, zmax]?"""
-        return jnp.any(valid_pix & (T >= stop_thresh)
-                       & (z_hi >= zmin) & (z_lo <= zmax))
+    kernel = _make_kernel(
+        G, gi, D, bd, perm, basis_lo, basis_hi, sig2, fmt, depth, rot, K,
+        flip, gate_slabs=bool(np.any(masks != (1 << K) - 1)))
 
     def cond(carry):
         c, acc = carry

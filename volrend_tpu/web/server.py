@@ -75,6 +75,10 @@ label { user-select:none }
     <button onclick="addMesh('cube')">+cube</button>
     <button onclick="addMesh('lattice')">+lattice</button>
   </div>
+  <div class="row">
+    <a href="/frame?w=800&h=800" download="screenshot.png">
+      <button>save screenshot (800&times;800)</button></a>
+  </div>
   <div class="row"><label>tree</label>
     <input type="file" style="width:150px"
      onchange="uploadAsset('tree', this)"></div>
