@@ -1,5 +1,8 @@
 """Training loop: loss decreases, recovers perturbed leaves, checkpoints."""
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -188,3 +191,22 @@ def test_scaled_sharded_epoch_with_midrun_resume(tmp_path):
     # resume is bit-stable vs the uninterrupted run
     np.testing.assert_array_equal(np.asarray(tr_a.data),
                                   np.asarray(tr_c.data))
+
+
+def test_train_slab_demo_example(tmp_path):
+    """The whole-frame training example must run end-to-end and recover
+    the corrupted scene (small config; the full 800^2 run on one v5e
+    measures ~60 ms/step and 24.9 -> 47.5 dB in 80 steps)."""
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "examples",
+                                      "train_slab_demo.py"),
+         "--platform", "cpu", "--size", "96", "--depth", "4",
+         "--steps", "20", "--poses", "2", "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    with open(tmp_path / "metrics.json") as f:
+        m = json.load(f)
+    assert m["psnr_after_db"] > m["psnr_before_db"] + 5.0

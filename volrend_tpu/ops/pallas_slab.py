@@ -278,7 +278,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             cz, cy, cx = p[0], p[1], p[2]
             u0, du, v0, dv = p[3], p[4], p[5], p[6]
             sgn = p[7]
-            spp0, spp1, spp2 = p[8], p[9], p[10]
+            # p[8:11] (spp) feed _zb_planes only — not read in-kernel
             inv_s = (p[11], p[12], p[13])
             sigma_thresh, stop_thresh = p[14], p[15]
             lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
@@ -708,7 +708,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             cz, cy, cx = p[0], p[1], p[2]
             u0, du, v0, dv = p[3], p[4], p[5], p[6]
             sgn = p[7]
-            spp0, spp1, spp2 = p[8], p[9], p[10]
+            # p[8:11] (spp) feed _zb_planes only — not read in-kernel
             inv_s = (p[11], p[12], p[13])
             sigma_thresh, stop_thresh = p[14], p[15]
             lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
