@@ -387,11 +387,17 @@ def test_pallas_static_matches_dynamic_dispatch(scene, monkeypatch):
         monkeypatch.setattr(pallas_slab, "_FORCE_DYNAMIC", True)
         jax.clear_caches()
         b = slab_render.render_image(grid, cam, opt, gi=96)
+        monkeypatch.setattr(pallas_slab, "_FORCE_DYNAMIC", False)
+        monkeypatch.setattr(pallas_slab, "_MANUAL_PIPE", True)
+        jax.clear_caches()
+        c = slab_render.render_image(grid, cam, opt, gi=96)
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_DYNAMIC", False)
+        monkeypatch.setattr(pallas_slab, "_MANUAL_PIPE", False)
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
     np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
 
 
 def test_solid_scene_sparse_and_matches_exact():

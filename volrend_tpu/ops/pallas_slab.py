@@ -71,6 +71,15 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 #: for contiguous full-mask runs, so tests can pin static == dynamic
 _FORCE_DYNAMIC = False
 
+#: contiguous window runs can use the manually-pipelined kernel (two-slot
+#: VMEM scratch + async HBM copies). MEASURED EQUAL to Mosaic's automatic
+#: block pipeline (1.80-1.89 vs 1.77-1.82 ms/frame at bench scale): the
+#: march is VPU-compute-bound (~1.8 ms of shading+warp-mats+composite) and
+#: the 1.1 ms volume stream already hides under it either way. Kept as
+#: infrastructure (and covered by tests); the automatic pipeline is the
+#: simpler default.
+_MANUAL_PIPE = False
+
 
 def available() -> bool:
     if _FORCE_INTERPRET:
@@ -237,14 +246,19 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                  sig2: bool, fmt: int, depth: bool,
                  rot: Optional[Tuple[float, ...]], K: int, flip: bool,
                  static_seq: Optional[Tuple[int, int]] = None,
-                 gate_slabs: bool = True):
+                 gate_slabs: bool = True,
+                 manual_pipe: Optional[Tuple[int, int, object]] = None):
     """static_seq=(base, step): the grid step i marches window base+step*i
-    with a full occupancy mask and a STATIC block index map — no scalar
-    prefetch. Mosaic double-buffers a statically-indexed block stream
-    (overlapping each window's 13 MB HBM fetch with the previous window's
-    shading); with prefetched-scalar index maps the stream and compute
-    measure additive. None = dynamic windows via the ids array (sparse
-    scenes with culled slab lists)."""
+    with occupancy masks from SMEM and a STATIC block index map — no
+    scalar prefetch. None = dynamic windows via the ids array (sparse
+    scenes with arbitrary culled slab lists).
+
+    manual_pipe=(n_win, Dp, dtype) (requires static_seq): ONE grid step
+    drives the whole window run with an explicit two-slot VMEM scratch and
+    async HBM copies — DMA of window w+1 overlaps the shading of window w.
+    Mosaic's automatic block pipeline measures DMA + compute ADDITIVE for
+    this kernel (march ~= stream + shade), so the overlap is hand-rolled
+    (the pallas guide's double-buffering pattern)."""
     slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}  # tree axis -> permuted slot
     from volrend_tpu.models.data_format import BasisType
     bt = BasisType(fmt)
@@ -271,7 +285,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             wid = static_seq[0] + static_seq[1] * i
             wmask = mask_ref[i]
 
-        def _slab(wid, wmask, dzi):
+        def _slab(slab_ref, wid, wmask, dzi):
             sid = wid * K + dzi
             occupied = (wmask >> dzi) & 1
             p = params_ref
@@ -402,7 +416,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     acc_ref[c] = acc_ref[c] + wn * srgb_w[c]
             acc_ref[3] = jnp.where(m, T * att, T)
 
-        def _masked_slabs():
+        def _masked_slabs(sref, wid, wmask):
             # per-slab occupancy gate (only emitted when some window's mask
             # is partial — the scalar branches cost ~5% on dense scenes):
             # an empty slab inside a streamed window skips its whole
@@ -412,16 +426,49 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 if gate_slabs:
                     @pl.when(((wmask >> dzi) & 1) > 0)
                     def _one(dzi=dzi):
-                        _slab(wid, wmask, dzi)
+                        _slab(sref, wid, wmask, dzi)
                 else:
-                    _slab(wid, wmask, dzi)
+                    _slab(sref, wid, wmask, dzi)
 
-        if static_seq is None:
+        if manual_pipe is not None:
+            # 'slab_ref' holds the WHOLE payload in HBM; two-slot scratch
+            # + async copies overlap window w+1's fetch with w's shading
+            n_win, Dp_, sdtype = manual_pipe
+            base, step_ = static_seq
+
+            def body(scratch, sem):
+                def get_dma(sl, w):
+                    blk = (base + step_ * w) * K
+                    return pltpu.make_async_copy(
+                        slab_ref.at[pl.ds(blk, K)], scratch.at[sl],
+                        sem.at[sl])
+
+                get_dma(0, 0).start()
+
+                def loop_body(w, carry):
+                    sl = lax.rem(w, 2)
+
+                    @pl.when(w + 1 < n_win)
+                    def _prefetch():
+                        get_dma(lax.rem(w + 1, 2), w + 1).start()
+
+                    get_dma(sl, w).wait()
+                    _masked_slabs(scratch.at[sl], base + step_ * w,
+                                  mask_ref[w])
+                    return carry
+
+                lax.fori_loop(0, n_win, loop_body, 0)
+
+            pl.run_scoped(
+                body,
+                scratch=pltpu.VMEM((2, K, Dp_, G, G), sdtype),
+                sem=pltpu.SemaphoreType.DMA((2,)))
+        elif static_seq is None:
             @pl.when(wid >= 0)
             def _body():
-                _masked_slabs()
+                _masked_slabs(slab_ref, wid, wmask)
         else:
-            _masked_slabs()
+            _masked_slabs(slab_ref, wid, wmask)
 
     return kernel
 
@@ -480,6 +527,36 @@ def _chunk_call_static(kernel, masks, params, qscale, extra, gplanar,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((K, Dp, G, G),
                          lambda i: (base + step * i, 0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, gi, gi), _F32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_FORCE_INTERPRET,
+    )(masks, params, qscale, extra, gplanar, zbounds, acc)
+
+
+def _chunk_call_pipelined(kernel, masks, params, qscale, extra, gplanar,
+                          zbounds, acc, gi: int):
+    """One manually-pipelined dispatch over a contiguous window run: a
+    single grid step; the kernel itself loops the windows with a two-slot
+    scratch and async copies (see _make_kernel's manual_pipe mode). The
+    payload stays in HBM (memory_space ANY)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
             pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
         ],
@@ -594,20 +671,28 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 continue
             base = int(run[0])
             full = (1 << K) - 1
+            gate = bool(np.any(mrun != full))
+            pipe = ((len(run), Dp, gplanar.dtype) if _MANUAL_PIPE
+                    else None)
             kern = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
                                 sig2, fmt, depth, rot, K, flip,
-                                static_seq=(base, step),
-                                gate_slabs=bool(np.any(mrun != full)))
+                                static_seq=(base, step), gate_slabs=gate,
+                                manual_pipe=pipe)
             zvals = (sids + 0.5) / G
             mdev = jnp.asarray(mrun)
+
+            def call(a, kern=kern, mdev=mdev, base=base):
+                if _MANUAL_PIPE:
+                    return _chunk_call_pipelined(
+                        kern, mdev, params, qscale, extra, gplanar,
+                        zbounds, a, gi)
+                return _chunk_call_static(
+                    kern, mdev, params, qscale, extra, gplanar, zbounds,
+                    a, G, gi, Dp, K, base, step)
+
             acc = lax.cond(
                 live(acc[3], float(zvals.min()), float(zvals.max())),
-                lambda a, kern=kern, mdev=mdev, base=base:
-                    _chunk_call_static(
-                        kern, mdev, params, qscale, extra, gplanar,
-                        zbounds, a, G, gi, Dp, K, base, step),
-                lambda a: a,
-                acc)
+                call, lambda a: a, acc)
         return acc
 
     wpc = max(1, _CHUNK // K)                   # windows per chunk
