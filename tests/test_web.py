@@ -229,3 +229,29 @@ def test_viewer_page_has_touch_and_mesh_ui(server):
     for needle in ("touchstart", "touchmove", "touchend", "uploadAsset",
                    "addMesh", "meshVec"):
         assert needle in html, needle
+
+
+def test_visualization_options_roundtrip(server):
+    """The reference GUI's visualization section (main.cpp:200-236): SH
+    band window, viewdir rotation, render bbox, depth toggle — /info must
+    expose them and /options must accept them."""
+    base, state = server
+    info = json.loads(_get(base + "/info"))
+    for k in ("basis_minmax", "rot_dirs", "render_bbox"):
+        assert k in info["options"], k
+    _post(base + "/options", {"basis_minmax": [1, 3],
+                              "rot_dirs": [0.1, 0.0, -0.2],
+                              "render_bbox": [0.1, 0.1, 0.1, 0.9, 0.9,
+                                              0.9],
+                              "render_depth": True})
+    assert state.opt.basis_minmax == (1, 3)
+    assert state.opt.rot_dirs == (0.1, 0.0, -0.2)
+    assert state.opt.render_bbox == (0.1, 0.1, 0.1, 0.9, 0.9, 0.9)
+    assert state.opt.render_depth is True
+    # frame still renders with the visualization options active
+    png = _get(base + "/frame?w=32&h=32")
+    assert png[:4] == b"\x89PNG"
+    _post(base + "/options", {"render_depth": False,
+                              "basis_minmax": [0, 24],
+                              "rot_dirs": [0.0, 0.0, 0.0],
+                              "render_bbox": [0, 0, 0, 1, 1, 1]})

@@ -183,6 +183,19 @@ async function probe() {
   document.getElementById('probeimg').src =
     URL.createObjectURL(await r.blob());
 }
+function bminmax() {
+  post('/options', {basis_minmax: [
+    +document.getElementById('bm0').value,
+    +document.getElementById('bm1').value]});
+}
+function rotdirs() {
+  post('/options', {rot_dirs:
+    [...document.querySelectorAll('.rd')].map(e => +e.value)});
+}
+function bbox() {
+  post('/options', {render_bbox:
+    [...document.querySelectorAll('.bb')].map(e => +e.value)});
+}
 const OPT_SLIDERS = [
   ['step_size', 1e-5, 2e-3, 'log'],
   ['sigma_thresh', 0.0, 1.0, 'lin'],
@@ -203,7 +216,35 @@ async function init() {
   od.insertAdjacentHTML('beforeend',
     `<div class="row"><label>show grid</label>
      <input type="checkbox" onchange="post('/options',
-      {show_grid: this.checked})"></div>`);
+      {show_grid: this.checked})"></div>
+     <div class="row"><label>depth</label>
+     <input type="checkbox" onchange="post('/options',
+      {render_depth: this.checked})"></div>`);
+  // visualization section (reference main.cpp:200-236): SH band window,
+  // viewdir rotation, render bbox
+  const bm = info.options.basis_minmax;
+  od.insertAdjacentHTML('beforeend',
+    `<div class="row"><label>SH bands</label>
+     <input id="bm0" type="number" value="${bm[0]}" min="0" max="24"
+      style="width:48px" onchange="bminmax()">
+     <input id="bm1" type="number" value="${bm[1]}" min="0" max="24"
+      style="width:48px" onchange="bminmax()"></div>`);
+  const rd = info.options.rot_dirs;
+  od.insertAdjacentHTML('beforeend',
+    `<div class="row"><label>rot dirs</label>` +
+    [0, 1, 2].map(i => `<input class="rd" type="number" value="${rd[i]}"
+      step="0.1" style="width:48px" onchange="rotdirs()">`).join('')
+    + `</div>`);
+  const bb = info.options.render_bbox;
+  od.insertAdjacentHTML('beforeend',
+    `<div class="row"><label>bbox lo</label>` +
+    [0, 1, 2].map(i => `<input class="bb" type="number" value="${bb[i]}"
+      step="0.05" min="0" max="1" style="width:48px"
+      onchange="bbox()">`).join('') + `</div>
+     <div class="row"><label>bbox hi</label>` +
+    [3, 4, 5].map(i => `<input class="bb" type="number" value="${bb[i]}"
+      step="0.05" min="0" max="1" style="width:48px"
+      onchange="bbox()">`).join('') + `</div>`);
   const ld = document.getElementById('layers');
   ld.innerHTML = '';
   for (const m of info.meshes) {
@@ -471,9 +512,9 @@ class ViewerState:
             "data_dim": self.tree.data_dim,
             "basis_dim": self.tree.data_format.basis_dim,
             "format": self.tree.data_format.to_string(),
-            "options": {k: v for k, v in dataclasses.asdict(
-                self.opt).items()
-                if isinstance(v, (int, float, bool))},
+            "options": {k: (list(v) if isinstance(v, tuple) else v)
+                        for k, v in dataclasses.asdict(self.opt).items()
+                        if isinstance(v, (int, float, bool, tuple))},
             "meshes": [{"name": m.name, "visible": bool(m.visible),
                         "unlit": bool(m.unlit),
                         "translation": [float(v) for v in m.translation],
