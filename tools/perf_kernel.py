@@ -58,8 +58,9 @@ def main():
 
     @jax.jit
     def march_only(gp, p, z):
-        return pallas_slab.march_slabs(gp, p, z, G, gi, grid.data_dim,
-                                       grid.basis_dim, perm, slab_ids=ids)
+        return pallas_slab.march_slabs(gp, p, grid.qscale, z, G, gi,
+                                       grid.data_dim, grid.basis_dim, perm,
+                                       slab_ids=ids, sig2=grid.quantized)
     t = sync_time(march_only, gplanar, params, zb)
     log(f"march kernel alone  : {t*1e3:7.2f} ms")
 

@@ -107,7 +107,10 @@ def main(argv=None) -> int:
         for i, cam in enumerate(cams):
             perm, flip, slope = slab_render.choose_axis(
                 grid, cam.transform, cam.fx, cam.fy, width, height)
-            if np.isfinite(slope):
+            # same gate as the viewer/animator (slab_render.compatible):
+            # the box-tap warp is only accurate while per-slab spans stay
+            # near one voxel, so steep poses take the exact renderer
+            if np.isfinite(slope) and slope < slab_render.MAX_SLAB_SLOPE:
                 groups.setdefault((perm, flip), []).append(i)
             else:
                 fallback.append(i)

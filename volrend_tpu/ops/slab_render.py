@@ -116,8 +116,13 @@ def choose_axis(grid: DenseGrid, transform: np.ndarray,
     return perm, bool(flip), float(max(np.abs(u).max(), np.abs(v).max()))
 
 
+#: box-tap warp accuracy limit: per-slab spans stay near one voxel only
+#: while boundary-ray slopes are below this (see _boxtap)
+MAX_SLAB_SLOPE = 4.0
+
+
 def compatible(grid: DenseGrid, transform, fx, fy, width, height,
-               max_slope: float = 4.0) -> bool:
+               max_slope: float = MAX_SLAB_SLOPE) -> bool:
     _, _, s = choose_axis(grid, np.asarray(transform), fx, fy, width, height)
     return s < max_slope
 
@@ -188,48 +193,67 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
     # Pallas path: vmap the per-pose geometry (FrameGeom is a few hundred
     # scalar-size ops; serialized inside lax.map they cost ~0.2 ms/frame of
     # op dispatch), then map the march+warp over the stacked fields.
-    from volrend_tpu.ops import pallas_slab
     payload, _ = gdata
-    G = grid.G
-    scale = grid.scale
-    slab_ids = grid.slab_ids(perm[0], flip, opt.sigma_thresh)
-    blo, bhi = opt.basis_minmax
-    rotm = _rodrigues(opt.rot_dirs)
-    rot = (None if rotm is None
-           else tuple(float(v) for v in rotm.reshape(-1)))
 
     def fields(tr):
         g = FrameGeom(grid, tr, fx, fy, perm, flip, width, height, opt, gi)
-        inv_scale_t = 1.0 / g.scale
-        params = pallas_slab._pack_params(
-            g.cz, g.cy, g.cx, g.u0, g.du, g.v0, g.dv,
-            jnp.asarray(-1.0 if flip else 1.0),
-            (inv_scale_t[perm[0]], inv_scale_t[perm[1]],
-             inv_scale_t[perm[2]]),
-            (inv_scale_t[0], inv_scale_t[1], inv_scale_t[2]),
-            jnp.asarray(opt.sigma_thresh), jnp.asarray(opt.stop_thresh),
-            g.lo[1], g.hi[1], g.lo[2], g.hi[2])
-        zb = jnp.stack([g.z_lo_pix, g.z_hi_pix])
+        params, zb = _pallas_frame_fields(grid, g, perm, flip, opt)
         return params, zb, g.R, g.u0, g.du, g.v0, g.dv
 
     stacked = jax.vmap(fields)(transforms)
 
     def one(args):
         params, zb, R, u0, du, v0, dv = args
-        acc4 = pallas_slab.march_slabs(
-            payload, params, grid.qscale, zb, G, gi, grid.data_dim,
-            grid.basis_dim, perm, slab_ids=slab_ids,
-            basis_lo=int(blo), basis_hi=int(bhi), sig2=grid.quantized,
-            extra=grid.extra, fmt=int(grid.fmt),
-            depth=bool(opt.render_depth), rot=rot, flip=flip)
-        acc = jnp.moveaxis(acc4[:3], 0, -1)
-        T = acc4[3]
-        stopped = T < _F32(opt.stop_thresh)
-        return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
-                                  width, height, gi, perm, u0, du, v0, dv,
-                                  scale)
+        return _pallas_march_finalize(
+            grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
+            flip, width, height, opt, gi)
 
     return lax.map(one, stacked)
+
+
+def _pallas_frame_fields(grid: DenseGrid, g: "FrameGeom", perm, flip: bool,
+                         opt: RenderOptions):
+    """Pack the march kernel's scalar params + per-pixel z interval from
+    one frame's geometry (shared by the single-pose and batched paths)."""
+    from volrend_tpu.ops import pallas_slab
+    inv_scale_t = 1.0 / g.scale
+    params = pallas_slab._pack_params(
+        g.cz, g.cy, g.cx, g.u0, g.du, g.v0, g.dv,
+        jnp.asarray(-1.0 if flip else 1.0),
+        (inv_scale_t[perm[0]], inv_scale_t[perm[1]], inv_scale_t[perm[2]]),
+        (inv_scale_t[0], inv_scale_t[1], inv_scale_t[2]),
+        jnp.asarray(opt.sigma_thresh), jnp.asarray(opt.stop_thresh),
+        g.lo[1], g.hi[1], g.lo[2], g.hi[2])
+    zb = jnp.stack([g.z_lo_pix, g.z_hi_pix])
+    return params, zb
+
+
+def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
+                           u0, du, v0, dv, fx, fy,
+                           perm: Tuple[int, int, int], flip: bool,
+                           width: int, height: int, opt: RenderOptions,
+                           gi: int):
+    """March one pose through the fused kernel, then finalize + warp
+    (shared by the single-pose and batched paths)."""
+    from volrend_tpu.ops import pallas_slab
+    slab_ids = grid.slab_ids(perm[0], flip, opt.sigma_thresh)
+    blo, bhi = opt.basis_minmax
+    rotm = _rodrigues(opt.rot_dirs)
+    acc4 = pallas_slab.march_slabs(
+        payload, params, grid.qscale, zb, grid.G, gi, grid.data_dim,
+        grid.basis_dim, perm, slab_ids=slab_ids,
+        basis_lo=int(blo), basis_hi=int(bhi), sig2=grid.quantized,
+        extra=grid.extra, fmt=int(grid.fmt),
+        depth=bool(opt.render_depth),
+        rot=(None if rotm is None
+             else tuple(float(v) for v in rotm.reshape(-1))),
+        flip=flip)
+    acc = jnp.moveaxis(acc4[:3], 0, -1)
+    T = acc4[3]
+    stopped = T < _F32(opt.stop_thresh)
+    return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
+                              width, height, gi, perm, u0, du, v0, dv,
+                              grid.scale)
 
 
 def _pallas_ok(grid: DenseGrid, opt: RenderOptions) -> bool:
@@ -389,35 +413,11 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
 
     # ---- march over slabs -------------------------------------------------
     if use_pallas:
-        from volrend_tpu.ops import pallas_slab
-        inv_scale_t = 1.0 / scale
-        spp_t = (inv_scale_t[perm[0]], inv_scale_t[perm[1]],
-                 inv_scale_t[perm[2]])
-        params = pallas_slab._pack_params(
-            cz, cy, cx, u0, du, v0, dv, jnp.asarray(-1.0 if flip else 1.0),
-            spp_t, (inv_scale_t[0], inv_scale_t[1], inv_scale_t[2]),
-            jnp.asarray(opt.sigma_thresh), jnp.asarray(opt.stop_thresh),
-            lo[1], hi[1], lo[2], hi[2])
-        zb = jnp.stack([z_lo_pix, z_hi_pix])
-        blo, bhi = opt.basis_minmax
         payload, _ = gdata
-        slab_ids = grid.slab_ids(perm[0], flip, opt.sigma_thresh)
-        rotm = _rodrigues(opt.rot_dirs)
-        acc4 = pallas_slab.march_slabs(
-            payload, params, grid.qscale, zb, G, gi, D,
-            grid.basis_dim, perm, slab_ids=slab_ids,
-            basis_lo=int(blo), basis_hi=int(bhi), sig2=grid.quantized,
-            extra=grid.extra, fmt=int(grid.fmt),
-            depth=bool(opt.render_depth),
-            rot=(None if rotm is None
-                 else tuple(float(v) for v in rotm.reshape(-1))),
-            flip=flip)
-        acc = jnp.moveaxis(acc4[:3], 0, -1)             # (gi, gi, 3)
-        T = acc4[3]
-        stopped = T < _F32(opt.stop_thresh)
-        return _finalize_and_warp(
-            grid, acc, T, stopped, opt, R, fx, fy, width, height, gi,
-            perm, u0, du, v0, dv, scale)
+        params, zb = _pallas_frame_fields(grid, g, perm, flip, opt)
+        return _pallas_march_finalize(
+            grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
+            flip, width, height, opt, gi)
 
     # Key restructuring for TPU dataflow: shade (SH -> rgb) *per voxel in
     # slab layout* first, then resample only 4 channels [sigma, sigma*rgb]

@@ -244,10 +244,21 @@ class FrameTrainer(Trainer):
         self.step_count += 1
         return float(loss)
 
+    def place_frames(self, cams, targets):
+        """Pre-place a pose batch's targets on device ONCE; pass the result
+        as ``targets`` to step_frames_sharded on every epoch. Without this
+        each step re-uploads the whole target batch from host (~80 MB at
+        8x800^2 — seconds through the axon tunnel, dwarfing the ~30 ms
+        step)."""
+        return jnp.asarray(np.stack([np.asarray(t) for t in targets]),
+                           jnp.float32)
+
     def step_frames_sharded(self, mesh, cams, targets) -> float:
         """Multi-device step: poses sharded over the mesh, leaf grads
         psum-reduced (one collective). All cams must share (perm, flip) and
-        (fx, fy, W, H); len(cams) divisible by the mesh size."""
+        (fx, fy, W, H); len(cams) divisible by the mesh size. ``targets``
+        may be a host list (uploaded here, every call) or the device array
+        from ``place_frames`` (no per-step transfer)."""
         groups = {self._group(c) for c in cams}
         if len(groups) != 1:
             raise ValueError(f"poses span {len(groups)} (perm, flip) "
@@ -255,9 +266,11 @@ class FrameTrainer(Trainer):
         (perm, flip), = groups
         cam = cams[0]
         trs = np.stack([c.transform for c in cams])
+        if not isinstance(targets, jax.Array):
+            targets = self.place_frames(cams, targets)
         self.pyramid, self.opt_state, loss = _frame_step_sharded(
             self.pyramid, self.opt_state, self.bmap, self.grid,
-            jnp.asarray(trs), jnp.asarray(np.stack(targets)),
+            jnp.asarray(trs), targets,
             float(cam.fx), float(cam.fy), perm, flip,
             cam.width, cam.height, self.opt, self.gi, self.optimizer, mesh)
         self.step_count += 1

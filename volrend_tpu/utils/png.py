@@ -33,9 +33,12 @@ _SO = os.path.join(os.path.dirname(_SRC), "libvolrend_png.so")
 
 
 def _build() -> Optional[str]:
-    if (os.path.isfile(_SO)
-            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-        return _SO
+    if os.path.isfile(_SO):
+        # a prebuilt .so without the source alongside is still usable
+        if not os.path.isfile(_SRC):
+            return _SO
+        if os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return _SO
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
