@@ -434,3 +434,38 @@ def test_pallas_interpret_solid_scene_partial_masks(monkeypatch):
     cam = make_cam((1, 0.3, 0.4), width=32, height=32)
     _interpret_vs_xla(grid, cam, RenderOptions(max_steps=512), monkeypatch,
                       gate=40.0)
+
+
+def test_slab_fuzz_random_poses(scene):
+    """Random-pose fuzz across the viewing sphere: every slab-compatible
+    pose must agree with the exact renderer; incompatible poses must be
+    flagged (finite-slope contract), never silently wrong."""
+    dev, grid = scene
+    rng = np.random.default_rng(11)
+    opt = RenderOptions(max_steps=512)
+    checked = 0
+    for _ in range(12):
+        back = rng.normal(size=3)
+        back /= np.linalg.norm(back)
+        r = rng.uniform(1.8, 3.5)
+        up = rng.normal(size=3)
+        up -= up @ back * back
+        n = np.linalg.norm(up)
+        if n < 0.3:
+            continue
+        cam = Camera.from_vectors(
+            center=tuple(r * back), v_back=tuple(back),
+            v_world_up=tuple(up / n), width=40, height=40,
+            fx=rng.uniform(40.0, 90.0))
+        perm, flip, slope = slab_render.choose_axis(
+            grid, cam.transform, cam.fx, cam.fy, 40, 40)
+        if not (np.isfinite(slope)
+                and slope < slab_render.MAX_SLAB_SLOPE):
+            continue
+        out = slab_render.render_image(grid, cam, opt, gi=128)
+        ref = np.asarray(render_jax.render_image(dev, cam, opt))
+        p = psnr(out[..., :3], ref[..., :3])
+        assert p > 26.0, (f"fuzz pose back={back} up={up} slope={slope:.2f}"
+                          f" PSNR {p:.1f}")
+        checked += 1
+    assert checked >= 6, f"only {checked} fuzz poses were slab-compatible"
