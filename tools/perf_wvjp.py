@@ -13,6 +13,14 @@ in that window when |d(gy)/d(pixel)| < 1, i.e. gi < min(H, W)).
   v2  window table build alone (36 shifted slices of g_out)
   v3  table + 200k x 288 B gather
   v4  full window-gather adjoint (build + gather + tent combine)
+
+RESULT (v5e, 800^2/gi=448): v0 10.03  v1 scatter-alone 8.97
+v3 build+gather 4.31  v4 full adjoint 4.62 ms/frame -> the gather
+formulation is 2.2x the scatter, worth ~5 ms on the 30 ms training step.
+NOT productionized: the step already runs at 2.1x its own forward, and an
+exact adjoint must reproduce the forward's clamped edge taps bit-for-bit
+(y0c = min(y0, gi-2) asymmetric weights) — revisit if training throughput
+becomes the bottleneck.
 """
 
 import sys, os, time
