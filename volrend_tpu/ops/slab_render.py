@@ -158,16 +158,32 @@ def _slopes_from_dirs(d_tree, perm):
 def render_frame(grid: DenseGrid, transform, fx, fy,
                  perm: Tuple[int, int, int], flip: bool,
                  width: int, height: int, opt: RenderOptions,
-                 gi: int = 512):
+                 gi: int = 512, payload=None):
     """Render one pinhole frame; returns (H, W, 4) float32 RGBA.
 
     transform: (3,4) C2W [right|up|back|center]; fx/fy scalars (traced ok).
     perm/flip: from choose_axis (static -> 6 cached compilations max).
+    payload: optional pre-permuted slab-major payload (prepare_payload) —
+    skips the in-call permute for repeated renders (viewer frames).
     """
     use_pallas = _pallas_ok(grid, opt)
-    gdata = _permuted_grid(grid, perm, use_pallas)
+    gdata = ((payload, None) if payload is not None and use_pallas
+             else _permuted_grid(grid, perm, use_pallas))
     return _render_frame_impl(grid, gdata, transform, fx, fy, perm, flip,
                               width, height, opt, gi, use_pallas)
+
+
+def prepare_payload(grid: DenseGrid, perm: Tuple[int, int, int],
+                    opt: RenderOptions):
+    """Materialize the slab-major payload for one slab axis ONCE (scene
+    prep, like the reference's one-time load_cuda upload) so repeated
+    ``render_frames`` calls skip the per-call permute (~0.3 ms/frame
+    amortized at bench scale). Only the Pallas fast path consumes it; pass
+    the result as ``payload=``. Keyed by ``perm[0]`` — flip is handled by
+    the march order, so 3 cached copies cover every pose."""
+    if not _pallas_ok(grid, opt):
+        return None
+    return _permuted_grid(grid, perm, True)[0]
 
 
 @partial(jax.jit, static_argnames=("perm", "flip", "width", "height",
@@ -175,12 +191,14 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
 def render_frames(grid: DenseGrid, transforms, fx, fy,
                   perm: Tuple[int, int, int], flip: bool,
                   width: int, height: int, opt: RenderOptions,
-                  gi: int = 512):
+                  gi: int = 512, payload=None):
     """Render a batch of poses sharing one (perm, flip) group; the permuted
-    grid copy is materialized once for the whole batch. Returns
+    grid copy is materialized once for the whole batch (or passed in
+    pre-permuted via ``payload`` — see prepare_payload). Returns
     (N, H, W, 4)."""
     use_pallas = _pallas_ok(grid, opt)
-    gdata = _permuted_grid(grid, perm, use_pallas)
+    gdata = ((payload, None) if payload is not None and use_pallas
+             else _permuted_grid(grid, perm, use_pallas))
     transforms = jnp.asarray(transforms, _F32)
 
     if not use_pallas:
@@ -665,13 +683,25 @@ def _rodrigues(rot_dirs) -> Optional[np.ndarray]:
 
 
 def render_image(grid: DenseGrid, cam, opt: RenderOptions,
-                 gi: int = 512) -> np.ndarray:
-    """Camera-object convenience wrapper; returns (H, W, 4) on host."""
+                 gi: int = 512, payload_cache: Optional[dict] = None
+                 ) -> np.ndarray:
+    """Camera-object convenience wrapper; returns (H, W, 4) on host.
+
+    payload_cache: optional mutable dict keyed by slab axis (perm[0]) —
+    pre-permuted payloads are built lazily and reused across calls, so an
+    interactive caller (the viewer) doesn't re-permute the grid per frame.
+    """
     perm, flip, slope = choose_axis(
         grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
     if not np.isfinite(slope):
         raise ValueError("pose not renderable by the slab path "
                          "(rays straddle the slab axis); use render_jax")
+    payload = None
+    if payload_cache is not None:
+        if perm[0] not in payload_cache:
+            payload_cache[perm[0]] = prepare_payload(grid, perm, opt)
+        payload = payload_cache[perm[0]]
     out = render_frame(grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
-                       perm, flip, cam.width, cam.height, opt, gi)
+                       perm, flip, cam.width, cam.height, opt, gi,
+                       payload=payload)
     return np.asarray(out)

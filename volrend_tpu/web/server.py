@@ -317,12 +317,14 @@ class ViewerState:
             self.fixed_focal = False
         self.use_slab = use_slab
         self.grid = None
+        self._payload_cache = {}
         if use_slab:
             try:
                 from volrend_tpu.ops import dense_grid
                 self.grid = dense_grid.bake_dense(self.dev)
             except Exception:
                 self.grid = None
+                self._payload_cache.clear()
         self.lock = threading.Lock()
         self.fps = fps_counter()
 
@@ -339,7 +341,8 @@ class ViewerState:
                 if slab_render.compatible(self.grid, self.cam.transform,
                                           self.cam.fx, self.cam.fy, w, h):
                     img = slab_render.render_image(
-                        self.grid, self.cam, self.opt, gi=512)
+                        self.grid, self.cam, self.opt, gi=512,
+                        payload_cache=self._payload_cache)
             if img is None:
                 from volrend_tpu.ops import composite
                 img = composite.render_frame_with_meshes(
@@ -475,6 +478,7 @@ class ViewerState:
                 self.tree = tree
                 self.dev = tree.to_device(lut_depth=None)
                 self.grid = None
+                self._payload_cache.clear()
                 if self.use_slab:
                     try:
                         from volrend_tpu.ops import dense_grid
