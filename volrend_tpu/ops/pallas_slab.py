@@ -132,8 +132,51 @@ def _sh_planes(bd: int, x, y, z):
 _NP = 20
 
 
-def _warp_mats(cy, cx, s0, s1, u0, du, v0, dv, G: int, gi: int):
-    """Box-integration warp matrices for one slab.
+def _warp_pre(p, G: int, gi: int):
+    """Slab-INVARIANT scaffolding of the box-integration warp matrices,
+    hoisted out of the per-slab bodies (every plane here is constant across
+    a window's K slabs and across all slabs of the frame; building them per
+    slab cost ~1.5M VPU ops/slab). Returns the tuple `_overlap_mats` eats.
+    """
+    big = _F32(1e9)
+    cy, cx = p[1], p[2]
+    u0, du, v0, dv = p[3], p[4], p[5], p[6]
+    jrow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
+    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1).astype(_F32)
+    hi_r = jnp.where(gcol >= G - 1.0, big, gcol + 1.0)
+    lo_r = jnp.where(gcol <= 0.0, -big, gcol)
+    ujG = (u0 + du * jrow) * G
+    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0).astype(_F32)
+    icol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
+    hi_c = jnp.where(grow >= G - 1.0, big, grow + 1.0)
+    lo_c = jnp.where(grow <= 0.0, -big, grow)
+    vkG = (v0 + dv * icol) * G
+    return (hi_r, lo_r, ujG, cy * G, hi_c, lo_c, vkG, cx * G)
+
+
+def _warp_preT(p, G: int, gi: int):
+    """Transposed-layout twin of `_warp_pre` (for the backward kernel's
+    adjoint matmuls — built directly from iotas, no in-kernel transpose
+    relayout): first block (G, gi) with the cell index on rows, second
+    block (gi, G) with the cell index on columns."""
+    big = _F32(1e9)
+    cy, cx = p[1], p[2]
+    u0, du, v0, dv = p[3], p[4], p[5], p[6]
+    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0).astype(_F32)
+    jcol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
+    hi_r = jnp.where(grow >= G - 1.0, big, grow + 1.0)
+    lo_r = jnp.where(grow <= 0.0, -big, grow)
+    ujG = (u0 + du * jcol) * G
+    irow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
+    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1).astype(_F32)
+    hi_c = jnp.where(gcol >= G - 1.0, big, gcol + 1.0)
+    lo_c = jnp.where(gcol <= 0.0, -big, gcol)
+    vkG = (v0 + dv * irow) * G
+    return (hi_r, lo_r, ujG, cy * G, hi_c, lo_c, vkG, cx * G)
+
+
+def _overlap_mats(pre, s0, s1):
+    """Box-integration warp matrices for one slab, from hoisted scaffolding.
 
     Each row holds the exact fractional overlap of the pixel ray's
     within-slab span with every grid cell — integrating the
@@ -144,73 +187,47 @@ def _warp_mats(cy, cx, s0, s1, u0, du, v0, dv, G: int, gi: int):
     row — same matmul shapes as a one-hot gather; weights are
     exact-enough in bf16 (<0.5% relative).
 
-    Returns (ohr (gi, G), ohct (G, gi)) in bf16.
+    With `pre` from `_warp_pre`: returns (ohr (gi, G), ohct (G, gi)).
+    With `pre` from `_warp_preT`: returns their transposes (the slab span
+    endpoints p = c*G + s*slopeG are layout-agnostic).
     """
-    big = _F32(1e9)
-    jrow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
-    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1).astype(_F32)
-    hi_r = jnp.where(gcol >= G - 1.0, big, gcol + 1.0)
-    lo_r = jnp.where(gcol <= 0.0, -big, gcol)
-    uj = u0 + du * jrow
-    p0r = (cy + s0 * uj) * G
-    p1r = (cy + s1 * uj) * G
-    pminr = jnp.minimum(p0r, p1r)
-    pmaxr = jnp.maximum(p0r, p1r)
-    inv_r = 1.0 / jnp.maximum(pmaxr - pminr, 1e-9)
-    ohr = (jnp.clip((jnp.minimum(hi_r, pmaxr)
-                     - jnp.maximum(lo_r, pminr)) * inv_r, 0.0, 1.0)
-           .astype(_BF16))                               # (gi, G)
+    hi_r, lo_r, ujG, cyG, hi_c, lo_c, vkG, cxG = pre
+    p0 = cyG + s0 * ujG
+    p1 = cyG + s1 * ujG
+    pmin = jnp.minimum(p0, p1)
+    pmax = jnp.maximum(p0, p1)
+    inv_r = 1.0 / jnp.maximum(pmax - pmin, 1e-9)
+    m_r = (jnp.clip((jnp.minimum(hi_r, pmax)
+                     - jnp.maximum(lo_r, pmin)) * inv_r, 0.0, 1.0)
+           .astype(_BF16))
 
-    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0).astype(_F32)
-    icol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
-    hi_c = jnp.where(grow >= G - 1.0, big, grow + 1.0)
-    lo_c = jnp.where(grow <= 0.0, -big, grow)
-    vk = v0 + dv * icol
-    p0c = (cx + s0 * vk) * G
-    p1c = (cx + s1 * vk) * G
-    pminc = jnp.minimum(p0c, p1c)
-    pmaxc = jnp.maximum(p0c, p1c)
-    inv_c = 1.0 / jnp.maximum(pmaxc - pminc, 1e-9)
-    ohct = (jnp.clip((jnp.minimum(hi_c, pmaxc)
-                      - jnp.maximum(lo_c, pminc)) * inv_c, 0.0, 1.0)
-            .astype(_BF16))                              # (G, gi)
-    return ohr, ohct
+    q0 = cxG + s0 * vkG
+    q1 = cxG + s1 * vkG
+    qmin = jnp.minimum(q0, q1)
+    qmax = jnp.maximum(q0, q1)
+    inv_c = 1.0 / jnp.maximum(qmax - qmin, 1e-9)
+    m_c = (jnp.clip((jnp.minimum(hi_c, qmax)
+                     - jnp.maximum(lo_c, qmin)) * inv_c, 0.0, 1.0)
+           .astype(_BF16))
+    return m_r, m_c
 
 
-def _warp_mats_T(cy, cx, s0, s1, u0, du, v0, dv, G: int, gi: int):
-    """Transposes of _warp_mats' matrices, built directly from iotas (no
-    in-kernel transpose relayout): ohrT (G, gi) with ohrT[g, j] = ohr[j, g],
-    ohctT (gi, G) with ohctT[i, g] = ohct[g, i]. Used by the backward
-    kernel's adjoint warp matmuls."""
-    big = _F32(1e9)
-    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0).astype(_F32)
-    jcol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
-    hi_r = jnp.where(grow >= G - 1.0, big, grow + 1.0)
-    lo_r = jnp.where(grow <= 0.0, -big, grow)
-    uj = u0 + du * jcol
-    p0r = (cy + s0 * uj) * G
-    p1r = (cy + s1 * uj) * G
-    pminr = jnp.minimum(p0r, p1r)
-    pmaxr = jnp.maximum(p0r, p1r)
-    inv_r = 1.0 / jnp.maximum(pmaxr - pminr, 1e-9)
-    ohrT = (jnp.clip((jnp.minimum(hi_r, pmaxr)
-                      - jnp.maximum(lo_r, pminr)) * inv_r, 0.0, 1.0)
-            .astype(_BF16))                              # (G, gi)
-
-    irow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
-    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1).astype(_F32)
-    hi_c = jnp.where(gcol >= G - 1.0, big, gcol + 1.0)
-    lo_c = jnp.where(gcol <= 0.0, -big, gcol)
-    vk = v0 + dv * irow
-    p0c = (cx + s0 * vk) * G
-    p1c = (cx + s1 * vk) * G
-    pminc = jnp.minimum(p0c, p1c)
-    pmaxc = jnp.maximum(p0c, p1c)
-    inv_c = 1.0 / jnp.maximum(pmaxc - pminc, 1e-9)
-    ohctT = (jnp.clip((jnp.minimum(hi_c, pmaxc)
-                       - jnp.maximum(lo_c, pminc)) * inv_c, 0.0, 1.0)
-             .astype(_BF16))                             # (gi, G)
-    return ohrT, ohctT
+def _shade_pre(p, G: int, bbox_full: bool):
+    """Slab-invariant shade planes: camera-relative voxel-center offsets
+    (the per-slab ray slopes are `offset * s_inv`) and the static-bbox
+    voxel mask (None when the bbox is the full cube — the compares would
+    always pass; `bbox_full` removes them from every slab body)."""
+    cy, cx = p[1], p[2]
+    yrow = lax.broadcasted_iota(jnp.int32, (G, G), 0).astype(_F32)
+    xcol = lax.broadcasted_iota(jnp.int32, (G, G), 1).astype(_F32)
+    yc = (yrow + 0.5) * (1.0 / G)
+    xc = (xcol + 0.5) * (1.0 / G)
+    if bbox_full:
+        okb = None
+    else:
+        lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
+        okb = (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2)
+    return yc - cy, xc - cx, okb
 
 
 def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
@@ -247,7 +264,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                  rot: Optional[Tuple[float, ...]], K: int, flip: bool,
                  static_seq: Optional[Tuple[int, int]] = None,
                  gate_slabs: bool = True,
-                 manual_pipe: Optional[Tuple[int, int, object]] = None):
+                 manual_pipe: Optional[Tuple[int, int, object]] = None,
+                 bbox_full: bool = False):
     """static_seq=(base, step): the grid step i marches window base+step*i
     with occupancy masks from SMEM and a STATIC block index map — no
     scalar prefetch. None = dynamic windows via the ids array (sparse
@@ -285,17 +303,21 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             wid = static_seq[0] + static_seq[1] * i
             wmask = mask_ref[i]
 
+        # slab-invariant planes, built once per dispatch step instead of
+        # per slab (and outside the pl.when occupancy gates, which block
+        # CSE across slab bodies)
+        pre_w = _warp_pre(params_ref, G, gi)
+        ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
+
         def _slab(slab_ref, wid, wmask, dzi):
             sid = wid * K + dzi
             occupied = (wmask >> dzi) & 1
             p = params_ref
-            cz, cy, cx = p[0], p[1], p[2]
-            u0, du, v0, dv = p[3], p[4], p[5], p[6]
+            cz = p[0]
             sgn = p[7]
             # p[8:11] (spp) feed _zb_planes only — not read in-kernel
             inv_s = (p[11], p[12], p[13])
             sigma_thresh, stop_thresh = p[14], p[15]
-            lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
 
             z = (sid.astype(_F32) + 0.5) / G
             s = z - cz
@@ -304,12 +326,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             s_inv = 1.0 / s
 
             # per-voxel ray slopes (planes over the slab)
-            yrow = lax.broadcasted_iota(jnp.int32, (G, G), 0).astype(_F32)
-            xcol = lax.broadcasted_iota(jnp.int32, (G, G), 1).astype(_F32)
-            yc = (yrow + 0.5) / G
-            xc = (xcol + 0.5) / G
-            uyv = (yc - cy) * s_inv
-            uxv = (xc - cx) * s_inv
+            uyv = ycm * s_inv
+            uxv = xcm * s_inv
 
             if sig2:
                 # 14-bit fixed-point sigma split across two int8 planes
@@ -318,9 +336,9 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     * qs_ref[D - 1]
             else:
                 sigma = slab_ref[dzi, D - 1].astype(_F32) * qs_ref[D - 1]
-            ok = ((sigma > sigma_thresh)
-                  & (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2)
-                  & (occupied > 0))
+            ok = (sigma > sigma_thresh) & (occupied > 0)
+            if okb is not None:
+                ok = ok & okb
             sigma = jnp.where(ok, sigma, 0.0)
 
             if depth:
@@ -380,8 +398,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 srgb = [sigma * jax.nn.sigmoid(r) for r in raw]
 
             # box-integration two-tap warp matrices (exact per-voxel DDA
-            # chords to second order; see _warp_mats)
-            ohr, ohct = _warp_mats(cy, cx, s0, s1, u0, du, v0, dv, G, gi)
+            # chords to second order; see _overlap_mats)
+            ohr, ohct = _overlap_mats(pre_w, s0, s1)
 
             # stage 1: stacked column warp — ONE (4G, G) @ (G, gi) matmul
             # (depth mode only needs the sigma channel)
@@ -574,7 +592,8 @@ def _chunk_call_pipelined(kernel, masks, params, qscale, extra, gplanar,
 
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
                                    "basis_lo", "basis_hi", "sig2", "fmt",
-                                   "depth", "rot", "flip", "k_per_step"))
+                                   "depth", "rot", "flip", "k_per_step",
+                                   "bbox_full"))
 def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 gi: int, D: int, bd: int,
                 perm: Tuple[int, int, int],
@@ -582,7 +601,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 basis_lo: int = 0, basis_hi: int = 24, sig2: bool = False,
                 extra=None, fmt: int = 1, depth: bool = False,
                 rot: Optional[Tuple[float, ...]] = None,
-                flip: bool = False, k_per_step: int = 4):
+                flip: bool = False, k_per_step: int = 4,
+                bbox_full: bool = False):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
     gplanar: (G, Dp, G, G) channel-planar permuted grid — bf16 payload
@@ -677,7 +697,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
             kern = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
                                 sig2, fmt, depth, rot, K, flip,
                                 static_seq=(base, step), gate_slabs=gate,
-                                manual_pipe=pipe)
+                                manual_pipe=pipe, bbox_full=bbox_full)
             zvals = (sids + 0.5) / G
             mdev = jnp.asarray(mrun)
 
@@ -722,7 +742,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     ids_dev = jnp.asarray(ids_mat)
     kernel = _make_kernel(
         G, gi, D, bd, perm, basis_lo, basis_hi, sig2, fmt, depth, rot, K,
-        flip, gate_slabs=bool(np.any(masks != (1 << K) - 1)))
+        flip, gate_slabs=bool(np.any(masks != (1 << K) - 1)),
+        bbox_full=bbox_full)
 
     def cond(carry):
         c, acc = carry
@@ -753,7 +774,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
 def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
                      perm: Tuple[int, int, int], basis_lo: int,
                      basis_hi: int, fmt: int,
-                     rot: Optional[Tuple[float, ...]], K: int, flip: bool):
+                     rot: Optional[Tuple[float, ...]], K: int, flip: bool,
+                     bbox_full: bool = False):
     """Gradient of the slab march w.r.t. the (unquantized, planar) payload.
 
     Re-marches the slabs in FORWARD order carrying (T, A) in VMEM scratch —
@@ -787,16 +809,21 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
         # maps let Mosaic double-buffer the in/out block streams
         wid = (n_win - 1 - i) if flip else i
 
+        # slab-invariant planes (see _make_kernel): warp scaffolding for
+        # both the forward-recompute and the adjoint (transposed) matmuls,
+        # plus the shade offsets/bbox mask
+        pre_w = _warp_pre(params_ref, G, gi)
+        pre_wT = _warp_preT(params_ref, G, gi)
+        ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
+
         def _slab_bwd(dzi):
             sid = wid * K + dzi
             p = params_ref
-            cz, cy, cx = p[0], p[1], p[2]
-            u0, du, v0, dv = p[3], p[4], p[5], p[6]
+            cz = p[0]
             sgn = p[7]
             # p[8:11] (spp) feed _zb_planes only — not read in-kernel
             inv_s = (p[11], p[12], p[13])
             sigma_thresh, stop_thresh = p[14], p[15]
-            lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
 
             z = (sid.astype(_F32) + 0.5) / G
             s = z - cz
@@ -805,16 +832,13 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             s_inv = 1.0 / s
 
             # ---- forward recompute: shade ----------------------------------
-            yrow = lax.broadcasted_iota(jnp.int32, (G, G), 0).astype(_F32)
-            xcol = lax.broadcasted_iota(jnp.int32, (G, G), 1).astype(_F32)
-            yc = (yrow + 0.5) / G
-            xc = (xcol + 0.5) / G
-            uyv = (yc - cy) * s_inv
-            uxv = (xc - cx) * s_inv
+            uyv = ycm * s_inv
+            uxv = xcm * s_inv
 
             sigma = slab_ref[dzi, D - 1].astype(_F32) * qs_ref[D - 1]
-            ok = ((sigma > sigma_thresh)
-                  & (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2))
+            ok = sigma > sigma_thresh
+            if okb is not None:
+                ok = ok & okb
             sigma = jnp.where(ok, sigma, 0.0)
 
             def make_planes():
@@ -865,7 +889,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             srgb = [sigma * r for r in rgb]
 
             # ---- forward recompute: warp + composite inputs ----------------
-            ohr, ohct = _warp_mats(cy, cx, s0, s1, u0, du, v0, dv, G, gi)
+            ohr, ohct = _overlap_mats(pre_w, s0, s1)
             stack = jnp.concatenate([sigma] + srgb, axis=0).astype(_BF16)
             w1 = jnp.dot(stack, ohct, preferred_element_type=_F32)
             w1 = w1.astype(_BF16)
@@ -908,8 +932,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             state_ref[1] = A
 
             # ---- adjoint warp (transposed matmuls) -------------------------
-            ohrT, ohctT = _warp_mats_T(cy, cx, s0, s1, u0, du, v0, dv,
-                                       G, gi)
+            ohrT, ohctT = _overlap_mats(pre_wT, s0, s1)
             gch = [g_sig_w] + g_srgb_w
             g_w1 = jnp.concatenate(
                 [jnp.dot(ohrT, gc.astype(_BF16),
@@ -952,7 +975,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
 
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm",
                                    "basis_lo", "basis_hi", "fmt", "rot",
-                                   "flip", "k_per_step"))
+                                   "flip", "k_per_step", "bbox_full"))
 def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
                     G: int, gi: int, D: int, bd: int,
                     perm: Tuple[int, int, int],
@@ -960,7 +983,8 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
                     extra=None, fmt: int = 1,
                     rot: Optional[Tuple[float, ...]] = None,
                     flip: bool = False,
-                    k_per_step: Optional[int] = None):
+                    k_per_step: Optional[int] = None,
+                    bbox_full: bool = False):
     """Payload-cotangent of ``march_slabs`` (training fast path).
 
     gplanar: (G, D, G, G) channel-planar bf16 payload — the same array the
@@ -999,7 +1023,7 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
             else (lambda i: (i, 0, 0, 0)))
 
     kernel = _make_bwd_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
-                              fmt, rot, K, flip)
+                              fmt, rot, K, flip, bbox_full=bbox_full)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nwin,),

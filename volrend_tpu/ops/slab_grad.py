@@ -475,11 +475,12 @@ def _pallas_train_ok(cfg: SlabCfg) -> bool:
 
 
 def _pallas_statics(cfg: SlabCfg):
+    from volrend_tpu.ops.slab_render import _bbox_full
     blo, bhi = cfg.opt.basis_minmax
     rotm = render_jax._rodrigues_matrix(cfg.opt.rot_dirs)
     rot = (None if rotm is None
            else tuple(float(v) for v in np.asarray(rotm).reshape(-1)))
-    return int(blo), int(bhi), rot
+    return int(blo), int(bhi), rot, _bbox_full(cfg.opt)
 
 
 def _pack_geom_params(geom, cfg: SlabCfg, inv_scale):
@@ -511,13 +512,13 @@ def _march_diff_pallas(cfg: SlabCfg, planar, params, zb, extra):
 
 def _pallas_fwd_call(cfg: SlabCfg, planar, params, zb, extra):
     from volrend_tpu.ops import pallas_slab
-    blo, bhi, rot = _pallas_statics(cfg)
+    blo, bhi, rot, bfull = _pallas_statics(cfg)
     return pallas_slab.march_slabs(
         planar.astype(jnp.bfloat16), params,
         jnp.ones((cfg.D,), _F32), zb, cfg.G, cfg.gi, cfg.D, cfg.bd,
         cfg.perm, slab_ids=cfg.ids, basis_lo=blo, basis_hi=bhi,
         sig2=False, extra=extra, fmt=cfg.fmt, depth=False, rot=rot,
-        flip=cfg.flip)
+        flip=cfg.flip, bbox_full=bfull)
 
 
 def _march_pallas_fwd(cfg, planar, params, zb, extra):
@@ -533,12 +534,12 @@ def _march_pallas_bwd(cfg: SlabCfg, res, gbar):
     gacc4 = jnp.concatenate([
         jnp.moveaxis(g_acc.astype(_F32), -1, 0),
         g_T.astype(_F32)[None]])
-    blo, bhi, rot = _pallas_statics(cfg)
+    blo, bhi, rot, bfull = _pallas_statics(cfg)
     grad_planar = pallas_slab.march_slabs_bwd(
         planar.astype(jnp.bfloat16), params, jnp.ones((cfg.D,), _F32),
         zb, gacc4, acc4, cfg.G, cfg.gi, cfg.D, cfg.bd, cfg.perm,
         basis_lo=blo, basis_hi=bhi, extra=extra, fmt=cfg.fmt, rot=rot,
-        flip=cfg.flip)
+        flip=cfg.flip, bbox_full=bfull)
     return (grad_planar.astype(planar.dtype), jnp.zeros_like(params),
             jnp.zeros_like(zb), jnp.zeros_like(extra))
 

@@ -265,13 +265,21 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
         depth=bool(opt.render_depth),
         rot=(None if rotm is None
              else tuple(float(v) for v in rotm.reshape(-1))),
-        flip=flip)
+        flip=flip,
+        bbox_full=_bbox_full(opt))
     acc = jnp.moveaxis(acc4[:3], 0, -1)
     T = acc4[3]
     stopped = T < _F32(opt.stop_thresh)
     return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
                               width, height, gi, perm, u0, du, v0, dv,
                               grid.scale)
+
+
+def _bbox_full(opt: RenderOptions) -> bool:
+    """Static: is render_bbox the default full cube? When True the kernels
+    drop the per-voxel in-plane bbox compares entirely (always-true)."""
+    return tuple(float(v) for v in opt.render_bbox) == (
+        0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
 
 
 def _pallas_ok(grid: DenseGrid, opt: RenderOptions) -> bool:
