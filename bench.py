@@ -31,7 +31,9 @@ BASELINE_MRAYS = 110.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_tree_cache.npz")
 W = H = 800
-N_POSES = 96
+# 200 test poses = the canonical NeRF-synthetic test-set size the reference's
+# headless protocol times (main_headless.cpp:203-231 renders every pose given)
+N_POSES = 200
 DEPTH = 7          # 256^3 effective resolution
 BASIS_DIM = 16     # SH deg 4 path (BASELINE.json configs[1])
 

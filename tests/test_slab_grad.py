@@ -410,6 +410,55 @@ def test_pallas_bwd_kernel_matches_autodiff(scene, monkeypatch):
         jax.clear_caches()
 
 
+def test_pallas_bwd_early_exit_opaque(monkeypatch):
+    """Near-opaque scene: most windows behind the first surface hit the
+    backward kernel's whole-frame early exit and zero-fill their grad
+    block — which must agree with autodiff (whose grads there are exactly
+    zero because w = 0 for fully-saturated rays)."""
+    from volrend_tpu.ops import pallas_slab
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                              sigma_scale=5000.0)
+        dev = tree.to_device(lut_depth=None)
+        grid = dense_grid.bake_dense(dev)
+        bmap = slab_grad.build_bake_map(dev)
+        data32 = jnp.asarray(dev.data, jnp.float32)
+        opaque = (dev, grid, bmap, data32)
+        grid, cfg, gm, planar, pperm, params, zb = _pallas_frame_parts(
+            opaque)
+        gi = cfg.gi
+        acc4 = slab_grad._pallas_fwd_call(cfg, planar, params, zb,
+                                          grid.extra)
+        rng = np.random.default_rng(1)
+        g_acc = jnp.asarray(rng.normal(size=(gi, gi, 3)).astype(np.float32))
+        g_T = jnp.asarray(rng.normal(size=(gi, gi)).astype(np.float32))
+        gacc4 = jnp.concatenate([jnp.moveaxis(g_acc, -1, 0), g_T[None]])
+        grad_planar = pallas_slab.march_slabs_bwd(
+            planar.astype(jnp.bfloat16), params,
+            jnp.ones((cfg.D,), jnp.float32), zb, gacc4, acc4,
+            cfg.G, gi, cfg.D, cfg.bd, cfg.perm, extra=grid.extra,
+            fmt=cfg.fmt, flip=cfg.flip)
+        grad_k = np.asarray(jnp.transpose(grad_planar, (0, 2, 3, 1)),
+                            np.float64)
+
+        def f(pp):
+            a, t = slab_grad._march_fwd_impl(cfg, pp, grid.extra, gm)
+            return jnp.sum(a * g_acc) + jnp.sum(t * g_T)
+
+        grad_s = np.asarray(jax.grad(f)(pperm), np.float64)
+        rel = (np.linalg.norm(grad_k - grad_s)
+               / (np.linalg.norm(grad_s) + 1e-30))
+        cos = float((grad_k * grad_s).sum()
+                    / (np.linalg.norm(grad_k) * np.linalg.norm(grad_s)
+                       + 1e-30))
+        assert rel < 2e-2 and cos > 0.999, (rel, cos)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+
+
 def test_pallas_train_backend_end_to_end(scene, monkeypatch):
     """render_frame_train(backend='pallas') forward and loss gradients
     match the scan backend through bake -> march -> warp -> loss."""

@@ -162,6 +162,18 @@ def _interpret_vs_xla(grid, cam, opt, monkeypatch, gi=96, gate=45.0,
     np.testing.assert_allclose(out[..., 3], ref[..., 3], atol=atol_alpha)
 
 
+def test_pallas_interpret_early_exit_opaque(monkeypatch):
+    """A near-opaque scene saturates transmittance within the first few
+    slabs, so most windows hit the kernel's whole-frame early exit
+    (any(T >= stop_thresh) false); the skipped windows must not change
+    the image vs the XLA slab path (which marches every slab)."""
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                          sigma_scale=5000.0)
+    grid = dense_grid.bake_dense(tree.to_device(lut_depth=None))
+    cam = make_cam((1, 0.2, 0.3), width=32, height=32)
+    _interpret_vs_xla(grid, cam, RenderOptions(max_steps=512), monkeypatch)
+
+
 def test_pallas_interpret_depth_mode(scene, monkeypatch):
     dev, grid = scene
     cam = make_cam((1, 0.2, 0.3), width=32, height=32)

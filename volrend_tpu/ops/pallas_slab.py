@@ -435,18 +435,25 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             acc_ref[3] = jnp.where(m, T * att, T)
 
         def _masked_slabs(sref, wid, wmask):
-            # per-slab occupancy gate (only emitted when some window's mask
-            # is partial — the scalar branches cost ~5% on dense scenes):
-            # an empty slab inside a streamed window skips its whole
-            # shade+warp+composite (correct because occupied=0 forces
-            # sigma=0 -> zero weight -> acc unchanged)
-            for dzi in dz_order:
-                if gate_slabs:
-                    @pl.when(((wmask >> dzi) & 1) > 0)
-                    def _one(dzi=dzi):
+            # whole-frame early exit: windows run in march order, so once
+            # every ray's transmittance has dropped below stop_thresh no
+            # later slab can contribute — skip the window's entire
+            # shade+warp+composite (the march is VPU-compute-bound; the
+            # block DMA still streams underneath but costs nothing extra)
+            @pl.when(jnp.any(acc_ref[3] >= params_ref[15]))
+            def _live_window():
+                # per-slab occupancy gate (only emitted when some window's
+                # mask is partial — the scalar branches cost ~5% on dense
+                # scenes): an empty slab inside a streamed window skips its
+                # whole shade+warp+composite (correct because occupied=0
+                # forces sigma=0 -> zero weight -> acc unchanged)
+                for dzi in dz_order:
+                    if gate_slabs:
+                        @pl.when(((wmask >> dzi) & 1) > 0)
+                        def _one(dzi=dzi):
+                            _slab(sref, wid, wmask, dzi)
+                    else:
                         _slab(sref, wid, wmask, dzi)
-                else:
-                    _slab(sref, wid, wmask, dzi)
 
         if manual_pipe is not None:
             # 'slab_ref' holds the WHOLE payload in HBM; two-slot scratch
@@ -967,8 +974,20 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
                 # any trailing payload planes beyond 3*bd+1 stay untouched
                 # only when D == Dp; the wrapper asserts D == block Dp
 
-        for dzi in dz_order:
-            _slab_bwd(dzi)
+        # whole-frame early exit (mirrors _make_kernel): once every ray's
+        # transmittance is below stop_thresh, every gradient term of later
+        # slabs is masked to zero (w = 0, m = False) — zero-fill the
+        # window's grad block and skip its ~(4 + 3bd)-plane adjoint
+        live = jnp.any(state_ref[0] >= params_ref[15])
+
+        @pl.when(live)
+        def _live_window():
+            for dzi in dz_order:
+                _slab_bwd(dzi)
+
+        @pl.when(jnp.logical_not(live))
+        def _dead_window():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
     return kernel
 
