@@ -303,13 +303,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             wid = static_seq[0] + static_seq[1] * i
             wmask = mask_ref[i]
 
-        # slab-invariant planes, built once per dispatch step instead of
-        # per slab (and outside the pl.when occupancy gates, which block
-        # CSE across slab bodies)
-        pre_w = _warp_pre(params_ref, G, gi)
-        ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
-
-        def _slab(slab_ref, wid, wmask, dzi):
+        def _slab(slab_ref, wid, wmask, dzi, pre_w, ycm, xcm, okb):
             sid = wid * K + dzi
             occupied = (wmask >> dzi) & 1
             p = params_ref
@@ -442,6 +436,12 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             # block DMA still streams underneath but costs nothing extra)
             @pl.when(jnp.any(acc_ref[3] >= params_ref[15]))
             def _live_window():
+                # slab-invariant planes, built once per live window instead
+                # of per slab (inside the gate so dead windows cost only
+                # the any-reduction; the pl.when occupancy gates below
+                # would block CSE across slab bodies)
+                pre_w = _warp_pre(params_ref, G, gi)
+                ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
                 # per-slab occupancy gate (only emitted when some window's
                 # mask is partial — the scalar branches cost ~5% on dense
                 # scenes): an empty slab inside a streamed window skips its
@@ -451,9 +451,10 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     if gate_slabs:
                         @pl.when(((wmask >> dzi) & 1) > 0)
                         def _one(dzi=dzi):
-                            _slab(sref, wid, wmask, dzi)
+                            _slab(sref, wid, wmask, dzi, pre_w, ycm, xcm,
+                                  okb)
                     else:
-                        _slab(sref, wid, wmask, dzi)
+                        _slab(sref, wid, wmask, dzi, pre_w, ycm, xcm, okb)
 
         if manual_pipe is not None:
             # 'slab_ref' holds the WHOLE payload in HBM; two-slot scratch
@@ -816,14 +817,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
         # maps let Mosaic double-buffer the in/out block streams
         wid = (n_win - 1 - i) if flip else i
 
-        # slab-invariant planes (see _make_kernel): warp scaffolding for
-        # both the forward-recompute and the adjoint (transposed) matmuls,
-        # plus the shade offsets/bbox mask
-        pre_w = _warp_pre(params_ref, G, gi)
-        pre_wT = _warp_preT(params_ref, G, gi)
-        ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
-
-        def _slab_bwd(dzi):
+        def _slab_bwd(dzi, pre_w, pre_wT, ycm, xcm, okb):
             sid = wid * K + dzi
             p = params_ref
             cz = p[0]
@@ -982,8 +976,15 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
 
         @pl.when(live)
         def _live_window():
+            # slab-invariant planes (see _make_kernel): warp scaffolding
+            # for both the forward-recompute and the adjoint (transposed)
+            # matmuls, plus the shade offsets/bbox mask — built once per
+            # live window, skipped entirely for dead ones
+            pre_w = _warp_pre(params_ref, G, gi)
+            pre_wT = _warp_preT(params_ref, G, gi)
+            ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
             for dzi in dz_order:
-                _slab_bwd(dzi)
+                _slab_bwd(dzi, pre_w, pre_wT, ycm, xcm, okb)
 
         @pl.when(jnp.logical_not(live))
         def _dead_window():
