@@ -80,6 +80,19 @@ _FORCE_DYNAMIC = False
 #: simpler default.
 _MANUAL_PIPE = False
 
+#: display-path default for ``march_slabs(shade_bf16=...)``: run the SH
+#: shading accumulation (basis planes + the 3*bd payload MACs — the
+#: march's dominant VPU cost, ~0.7-0.95 ms of 1.8) in bfloat16. bf16
+#: packs two values per 32-bit VPU lane, so elementwise throughput
+#: doubles; the payload itself is already int8/bf16 so the inputs carry
+#: no extra precision to lose, and the 3*bd-term accumulation at ~8
+#: mantissa bits agrees with f32 shading to 63 dB (interpret-mode
+#: measurement) — far above the bench's 40 dB gate. Training always
+#: shades f32 (slab_grad passes shade_bf16=False; the backward kernel's
+#: recompute is f32). Callers must jax.clear_caches() after flipping
+#: (same caveat as _FORCE_INTERPRET).
+_BF16_SHADE = False
+
 
 def available() -> bool:
     if _FORCE_INTERPRET:
@@ -265,7 +278,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                  static_seq: Optional[Tuple[int, int]] = None,
                  gate_slabs: bool = True,
                  manual_pipe: Optional[Tuple[int, int, object]] = None,
-                 bbox_full: bool = False):
+                 bbox_full: bool = False, shade_bf16: bool = False):
     """static_seq=(base, step): the grid step i marches window base+step*i
     with occupancy masks from SMEM and a STATIC block index map — no
     scalar prefetch. None = dynamic windows via the ids array (sparse
@@ -355,7 +368,12 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                                   rot[6] * dx + rot[7] * dy + rot[8] * dz)
 
                 if bt == BasisType.SH:
-                    planes = _sh_planes(bd, dx, dy, dz)
+                    if shade_bf16:
+                        planes = _sh_planes(bd, dx.astype(_BF16),
+                                            dy.astype(_BF16),
+                                            dz.astype(_BF16))
+                    else:
+                        planes = _sh_planes(bd, dx, dy, dz)
                 elif bt == BasisType.SG:
                     # exp(lam (mu.d - 1)) / bd    (lumisphere.hpp:30-36)
                     planes = ((k, jnp.exp(extra_ref[4 * k] * (
@@ -377,7 +395,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 else:
                     raise NotImplementedError(f"basis {bt}")
 
-                raw = [jnp.zeros((G, G), _F32) for _ in range(3)]
+                sdt = _BF16 if (shade_bf16 and bt == BasisType.SH) else _F32
+                raw = [jnp.zeros((G, G), sdt) for _ in range(3)]
                 for k, bk in planes:
                     if k < basis_lo or k > basis_hi:
                         continue
@@ -385,11 +404,11 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     # across rgb (qs[c*bd+k] identical for all c), so the
                     # basis plane is scaled once per k instead of
                     # dequantizing three channel planes separately
-                    bkq = bk * qs_ref[k]
+                    bkq = bk * qs_ref[k].astype(sdt)
                     for c in range(3):
                         raw[c] = raw[c] + (
-                            slab_ref[dzi, c * bd + k].astype(_F32) * bkq)
-                srgb = [sigma * jax.nn.sigmoid(r) for r in raw]
+                            slab_ref[dzi, c * bd + k].astype(sdt) * bkq)
+                srgb = [sigma * jax.nn.sigmoid(r.astype(_F32)) for r in raw]
 
             # box-integration two-tap warp matrices (exact per-voxel DDA
             # chords to second order; see _overlap_mats)
@@ -601,7 +620,7 @@ def _chunk_call_pipelined(kernel, masks, params, qscale, extra, gplanar,
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
                                    "basis_lo", "basis_hi", "sig2", "fmt",
                                    "depth", "rot", "flip", "k_per_step",
-                                   "bbox_full"))
+                                   "bbox_full", "shade_bf16"))
 def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 gi: int, D: int, bd: int,
                 perm: Tuple[int, int, int],
@@ -610,7 +629,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 extra=None, fmt: int = 1, depth: bool = False,
                 rot: Optional[Tuple[float, ...]] = None,
                 flip: bool = False, k_per_step: int = 4,
-                bbox_full: bool = False):
+                bbox_full: bool = False, shade_bf16: bool = False):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
     gplanar: (G, Dp, G, G) channel-planar permuted grid — bf16 payload
@@ -705,7 +724,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
             kern = _make_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
                                 sig2, fmt, depth, rot, K, flip,
                                 static_seq=(base, step), gate_slabs=gate,
-                                manual_pipe=pipe, bbox_full=bbox_full)
+                                manual_pipe=pipe, bbox_full=bbox_full,
+                                shade_bf16=shade_bf16)
             zvals = (sids + 0.5) / G
             mdev = jnp.asarray(mrun)
 
@@ -751,7 +771,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     kernel = _make_kernel(
         G, gi, D, bd, perm, basis_lo, basis_hi, sig2, fmt, depth, rot, K,
         flip, gate_slabs=bool(np.any(masks != (1 << K) - 1)),
-        bbox_full=bbox_full)
+        bbox_full=bbox_full, shade_bf16=shade_bf16)
 
     def cond(carry):
         c, acc = carry

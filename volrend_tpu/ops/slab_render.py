@@ -266,7 +266,8 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
         rot=(None if rotm is None
              else tuple(float(v) for v in rotm.reshape(-1))),
         flip=flip,
-        bbox_full=_bbox_full(opt))
+        bbox_full=_bbox_full(opt),
+        shade_bf16=pallas_slab._BF16_SHADE)
     acc = jnp.moveaxis(acc4[:3], 0, -1)
     T = acc4[3]
     stopped = T < _F32(opt.stop_thresh)
