@@ -70,6 +70,23 @@ f 1 2 3 4
     np.testing.assert_allclose(m.vert[0, 3:6], [1, 0, 0])
 
 
+def test_obj_offs_sidecar(tmp_path):
+    """A <name>.obj.offs sidecar auto-applies translation [+ scale] on OBJ
+    load (main.cpp:423-431)."""
+    obj = tmp_path / "m.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    m = load_basic_obj(str(obj))
+    np.testing.assert_allclose(m.translation, [0, 0, 0])
+    (tmp_path / "m.obj.offs").write_text("0.5 -1.0 2.0")
+    m = load_basic_obj(str(obj))
+    np.testing.assert_allclose(m.translation, [0.5, -1.0, 2.0])
+    assert m.scale == 1.0
+    (tmp_path / "m.obj.offs").write_text("1 2 3 0.25")
+    m = load_basic_obj(str(obj))
+    np.testing.assert_allclose(m.translation, [1, 2, 3])
+    assert m.scale == 0.25
+
+
 def test_drawlist_npz(tmp_path):
     p = str(tmp_path / "draw.npz")
     np.savez(

@@ -276,7 +276,23 @@ def load_basic_obj(path_or_str: str, from_string: bool = False) -> Mesh:
         estimate_normals(vert, farr)
     m = Mesh(vert, farr, 3)
     m.name = "OBJ" if from_string else path_or_str
+    if not from_string:
+        _apply_offs_sidecar(m, path_or_str + ".offs")
     return m
+
+
+def _apply_offs_sidecar(m: Mesh, offs_path: str) -> None:
+    """Auto-offset sidecar: a ``<name>.obj.offs`` file next to the OBJ
+    holds ``tx ty tz [scale]`` applied to the mesh's model transform on
+    load (main.cpp:423-431)."""
+    try:
+        vals = [float(x) for x in open(offs_path).read().split()]
+    except (OSError, ValueError):
+        return
+    if len(vals) >= 3:
+        m.translation = np.asarray(vals[:3], np.float32)
+        if len(vals) >= 4:
+            m.scale = vals[3]
 
 
 # ---------------------------------------------------------------------------
