@@ -448,12 +448,22 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             acc_ref[3] = jnp.where(m, T * att, T)
 
         def _masked_slabs(sref, wid, wmask):
-            # whole-frame early exit: windows run in march order, so once
-            # every ray's transmittance has dropped below stop_thresh no
-            # later slab can contribute — skip the window's entire
-            # shade+warp+composite (the march is VPU-compute-bound; the
-            # block DMA still streams underneath but costs nothing extra)
-            @pl.when(jnp.any(acc_ref[3] >= params_ref[15]))
+            # per-window liveness: a window can contribute only where some
+            # ray still has transmittance AND its [zlo, zhi] interval
+            # intersects the window's z range — skip the window's entire
+            # shade+warp+composite otherwise (the march is VPU-compute-
+            # bound; the block DMA still streams underneath but costs
+            # nothing extra). Subsumes the whole-frame early exit (all
+            # rays saturated) and also skips windows before every ray's
+            # entry or after every ray's exit (tight render_bbox /
+            # partial-view frames). Exact: a dead verdict implies the
+            # per-slab mask m below is false for every pixel.
+            zw0 = ((wid * K).astype(_F32) + 0.5) / G
+            zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G
+            live = jnp.any((acc_ref[3] >= params_ref[15])
+                           & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
+
+            @pl.when(live)
             def _live_window():
                 # slab-invariant planes, built once per live window instead
                 # of per slab (inside the gate so dead windows cost only
@@ -988,11 +998,15 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
                 # any trailing payload planes beyond 3*bd+1 stay untouched
                 # only when D == Dp; the wrapper asserts D == block Dp
 
-        # whole-frame early exit (mirrors _make_kernel): once every ray's
-        # transmittance is below stop_thresh, every gradient term of later
-        # slabs is masked to zero (w = 0, m = False) — zero-fill the
-        # window's grad block and skip its ~(4 + 3bd)-plane adjoint
-        live = jnp.any(state_ref[0] >= params_ref[15])
+        # per-window liveness (mirrors _make_kernel): where every ray has
+        # saturated or the window's z range misses every ray's [zlo, zhi]
+        # interval, every gradient term is masked to zero (w = 0,
+        # m = False) — zero-fill the window's grad block and skip its
+        # ~(4 + 3bd)-plane adjoint
+        zw0 = ((wid * K).astype(_F32) + 0.5) / G
+        zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G
+        live = jnp.any((state_ref[0] >= params_ref[15])
+                       & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
 
         @pl.when(live)
         def _live_window():
