@@ -113,14 +113,15 @@ def main():
          f"{[(p, f, t.shape[0]) for t, p, f in batches]}")
     static_pf = tuple((perm, flip) for _, perm, flip in batches)
 
-    # slab-major payloads materialized once per axis (scene prep, like the
-    # reference's one-time load_cuda upload) — skips the per-call permute
-    pay_by_axis = {}
+    # slab-major payloads materialized once per permutation (scene prep,
+    # like the reference's one-time load_cuda upload) — skips the per-call
+    # permute. Keyed by the FULL perm: the in-plane axis order matters to
+    # the payload layout (only flip is free, handled by march order).
+    pay_by_perm = {}
     for _, perm, flip in batches:
-        if perm[0] not in pay_by_axis:
-            pay_by_axis[perm[0]] = slab_render.prepare_payload(grid, perm,
-                                                               opt)
-    payloads = tuple(pay_by_axis[perm[0]] for _, perm, flip in batches)
+        if perm not in pay_by_perm:
+            pay_by_perm[perm] = slab_render.prepare_payload(grid, perm, opt)
+    payloads = tuple(pay_by_perm[perm] for _, perm, flip in batches)
 
     # ALL pose groups inside one jitted call: every dispatch through the
     # tunnel costs a ~26 ms round trip, so the whole benchmark is a single

@@ -85,6 +85,12 @@ def test_obj_offs_sidecar(tmp_path):
     m = load_basic_obj(str(obj))
     np.testing.assert_allclose(m.translation, [1, 2, 3])
     assert m.scale == 0.25
+    # stream-extraction semantics: leading floats read, trailing junk
+    # ignored (reference ifs >> reads stop at the first bad token)
+    (tmp_path / "m.obj.offs").write_text("4 5 6 junk")
+    m = load_basic_obj(str(obj))
+    np.testing.assert_allclose(m.translation, [4, 5, 6])
+    assert m.scale == 1.0
 
 
 def test_drawlist_npz(tmp_path):

@@ -68,12 +68,12 @@ def main():
     _log(f"{len(batches)} pose groups; occupied slabs/group {occ} of "
          f"{grid.G}")
     static_pf = tuple((perm, flip) for _, perm, flip in batches)
-    pay_by_axis = {}
+    pay_by_perm = {}
     for _, perm, flip in batches:
-        if perm[0] not in pay_by_axis:
-            pay_by_axis[perm[0]] = slab_render.prepare_payload(grid, perm,
+        if perm not in pay_by_perm:
+            pay_by_perm[perm] = slab_render.prepare_payload(grid, perm,
                                                                opt)
-    payloads = tuple(pay_by_axis[perm[0]] for _, perm, flip in batches)
+    payloads = tuple(pay_by_perm[perm] for _, perm, flip in batches)
 
     @partial(jax.jit, static_argnames=("pf",))
     def render_all(grid, trs_list, pays, pf):

@@ -286,9 +286,18 @@ def _apply_offs_sidecar(m: Mesh, offs_path: str) -> None:
     holds ``tx ty tz [scale]`` applied to the mesh's model transform on
     load (main.cpp:423-431)."""
     try:
-        vals = [float(x) for x in open(offs_path).read().split()]
-    except (OSError, ValueError):
+        with open(offs_path) as f:
+            tokens = f.read().split()
+    except OSError:
         return
+    # stream-extraction semantics (main.cpp:425-430): read leading floats,
+    # stop at the first non-numeric token instead of discarding the file
+    vals = []
+    for t in tokens[:4]:
+        try:
+            vals.append(float(t))
+        except ValueError:
+            break
     if len(vals) >= 3:
         m.translation = np.asarray(vals[:3], np.float32)
         if len(vals) >= 4:

@@ -462,6 +462,9 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G
             live = jnp.any((acc_ref[3] >= params_ref[15])
                            & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
+            # fully-empty windows (zero-mask gap padding in static sparse
+            # runs) must not pay the hoisted plane build either
+            live = live & (wmask != 0)
 
             @pl.when(live)
             def _live_window():

@@ -163,8 +163,9 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
 
     transform: (3,4) C2W [right|up|back|center]; fx/fy scalars (traced ok).
     perm/flip: from choose_axis (static -> 6 cached compilations max).
-    payload: optional pre-permuted slab-major payload (prepare_payload) —
-    skips the in-call permute for repeated renders (viewer frames).
+    payload: optional pre-permuted slab-major payload (prepare_payload
+    called with the SAME perm) — skips the in-call permute for repeated
+    renders (viewer frames).
     """
     use_pallas = _pallas_ok(grid, opt)
     gdata = ((payload, None) if payload is not None and use_pallas
@@ -179,8 +180,9 @@ def prepare_payload(grid: DenseGrid, perm: Tuple[int, int, int],
     prep, like the reference's one-time load_cuda upload) so repeated
     ``render_frames`` calls skip the per-call permute (~0.3 ms/frame
     amortized at bench scale). Only the Pallas fast path consumes it; pass
-    the result as ``payload=``. Keyed by ``perm[0]`` — flip is handled by
-    the march order, so 3 cached copies cover every pose."""
+    the result as ``payload=``. Cache by the FULL ``perm`` (the in-plane
+    axis order matters to the layout; only flip is free, handled by the
+    march order), so at most 6 cached copies cover every pose."""
     if not _pallas_ok(grid, opt):
         return None
     return _permuted_grid(grid, perm, True)[0]
@@ -696,7 +698,7 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
                  ) -> np.ndarray:
     """Camera-object convenience wrapper; returns (H, W, 4) on host.
 
-    payload_cache: optional mutable dict keyed by slab axis (perm[0]) —
+    payload_cache: optional mutable dict keyed by the full perm tuple —
     pre-permuted payloads are built lazily and reused across calls, so an
     interactive caller (the viewer) doesn't re-permute the grid per frame.
     """
@@ -707,9 +709,9 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
                          "(rays straddle the slab axis); use render_jax")
     payload = None
     if payload_cache is not None:
-        if perm[0] not in payload_cache:
-            payload_cache[perm[0]] = prepare_payload(grid, perm, opt)
-        payload = payload_cache[perm[0]]
+        if perm not in payload_cache:
+            payload_cache[perm] = prepare_payload(grid, perm, opt)
+        payload = payload_cache[perm]
     out = render_frame(grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
                        perm, flip, cam.width, cam.height, opt, gi,
                        payload=payload)
