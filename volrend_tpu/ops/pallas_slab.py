@@ -145,46 +145,37 @@ def _sh_planes(bd: int, x, y, z):
 _NP = 20
 
 
-def _warp_pre(p, G: int, gi: int):
+def _warp_half(shape, cell_on_rows: bool, r0, dr, G: int):
+    """One axis of the warp scaffolding: cell-edge planes (edge cells
+    extended to +-inf) and the per-ray slab-span coefficient plane."""
+    big = _F32(1e9)
+    cell = lax.broadcasted_iota(
+        jnp.int32, shape, 0 if cell_on_rows else 1).astype(_F32)
+    ray = lax.broadcasted_iota(
+        jnp.int32, shape, 1 if cell_on_rows else 0).astype(_F32)
+    hi = jnp.where(cell >= G - 1.0, big, cell + 1.0)
+    lo = jnp.where(cell <= 0.0, -big, cell)
+    return hi, lo, (r0 + dr * ray) * G
+
+
+def _warp_pre(p, G: int, gi: int, transposed: bool = False):
     """Slab-INVARIANT scaffolding of the box-integration warp matrices,
     hoisted out of the per-slab bodies (every plane here is constant across
     a window's K slabs and across all slabs of the frame; building them per
     slab cost ~1.5M VPU ops/slab). Returns the tuple `_overlap_mats` eats.
-    """
-    big = _F32(1e9)
+
+    transposed=True builds the layout-swapped twin for the backward
+    kernel's adjoint matmuls (cell index on rows of the first block,
+    columns of the second) directly from iotas — no in-kernel transpose
+    relayout."""
     cy, cx = p[1], p[2]
     u0, du, v0, dv = p[3], p[4], p[5], p[6]
-    jrow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
-    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1).astype(_F32)
-    hi_r = jnp.where(gcol >= G - 1.0, big, gcol + 1.0)
-    lo_r = jnp.where(gcol <= 0.0, -big, gcol)
-    ujG = (u0 + du * jrow) * G
-    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0).astype(_F32)
-    icol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
-    hi_c = jnp.where(grow >= G - 1.0, big, grow + 1.0)
-    lo_c = jnp.where(grow <= 0.0, -big, grow)
-    vkG = (v0 + dv * icol) * G
-    return (hi_r, lo_r, ujG, cy * G, hi_c, lo_c, vkG, cx * G)
-
-
-def _warp_preT(p, G: int, gi: int):
-    """Transposed-layout twin of `_warp_pre` (for the backward kernel's
-    adjoint matmuls — built directly from iotas, no in-kernel transpose
-    relayout): first block (G, gi) with the cell index on rows, second
-    block (gi, G) with the cell index on columns."""
-    big = _F32(1e9)
-    cy, cx = p[1], p[2]
-    u0, du, v0, dv = p[3], p[4], p[5], p[6]
-    grow = lax.broadcasted_iota(jnp.int32, (G, gi), 0).astype(_F32)
-    jcol = lax.broadcasted_iota(jnp.int32, (G, gi), 1).astype(_F32)
-    hi_r = jnp.where(grow >= G - 1.0, big, grow + 1.0)
-    lo_r = jnp.where(grow <= 0.0, -big, grow)
-    ujG = (u0 + du * jcol) * G
-    irow = lax.broadcasted_iota(jnp.int32, (gi, G), 0).astype(_F32)
-    gcol = lax.broadcasted_iota(jnp.int32, (gi, G), 1).astype(_F32)
-    hi_c = jnp.where(gcol >= G - 1.0, big, gcol + 1.0)
-    lo_c = jnp.where(gcol <= 0.0, -big, gcol)
-    vkG = (v0 + dv * irow) * G
+    if transposed:
+        hi_r, lo_r, ujG = _warp_half((G, gi), True, u0, du, G)
+        hi_c, lo_c, vkG = _warp_half((gi, G), False, v0, dv, G)
+    else:
+        hi_r, lo_r, ujG = _warp_half((gi, G), False, u0, du, G)
+        hi_c, lo_c, vkG = _warp_half((G, gi), True, v0, dv, G)
     return (hi_r, lo_r, ujG, cy * G, hi_c, lo_c, vkG, cx * G)
 
 
@@ -201,8 +192,8 @@ def _overlap_mats(pre, s0, s1):
     exact-enough in bf16 (<0.5% relative).
 
     With `pre` from `_warp_pre`: returns (ohr (gi, G), ohct (G, gi)).
-    With `pre` from `_warp_preT`: returns their transposes (the slab span
-    endpoints p = c*G + s*slopeG are layout-agnostic).
+    With `pre` from `_warp_pre(transposed=True)`: returns their transposes
+    (the slab span endpoints p = c*G + s*slopeG are layout-agnostic).
     """
     hi_r, lo_r, ujG, cyG, hi_c, lo_c, vkG, cxG = pre
     p0 = cyG + s0 * ujG
@@ -223,6 +214,18 @@ def _overlap_mats(pre, s0, s1):
                      - jnp.maximum(lo_c, qmin)) * inv_c, 0.0, 1.0)
            .astype(_BF16))
     return m_r, m_c
+
+
+def _window_live(T_plane, zb_ref, stop_thresh, wid, K: int, G: int):
+    """Per-window liveness: some ray still has transmittance AND its
+    [zlo, zhi] interval intersects the window's z range. A dead verdict
+    implies the per-slab composite mask is false for every pixel, so
+    skipping the window's shade/warp/composite (or zero-filling its grad
+    block) is exact."""
+    zw0 = ((wid * K).astype(_F32) + 0.5) / G
+    zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G
+    return jnp.any((T_plane >= stop_thresh)
+                   & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
 
 
 def _shade_pre(p, G: int, bbox_full: bool):
@@ -448,23 +451,15 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             acc_ref[3] = jnp.where(m, T * att, T)
 
         def _masked_slabs(sref, wid, wmask):
-            # per-window liveness: a window can contribute only where some
-            # ray still has transmittance AND its [zlo, zhi] interval
-            # intersects the window's z range — skip the window's entire
-            # shade+warp+composite otherwise (the march is VPU-compute-
-            # bound; the block DMA still streams underneath but costs
-            # nothing extra). Subsumes the whole-frame early exit (all
-            # rays saturated) and also skips windows before every ray's
-            # entry or after every ray's exit (tight render_bbox /
-            # partial-view frames). Exact: a dead verdict implies the
-            # per-slab mask m below is false for every pixel.
-            zw0 = ((wid * K).astype(_F32) + 0.5) / G
-            zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G
-            live = jnp.any((acc_ref[3] >= params_ref[15])
-                           & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
-            # fully-empty windows (zero-mask gap padding in static sparse
-            # runs) must not pay the hoisted plane build either
-            live = live & (wmask != 0)
+            # skip the window's entire shade+warp+composite when no ray
+            # can contribute (_window_live: saturation + z-interval test —
+            # subsumes the whole-frame early exit and also skips windows
+            # before every ray's entry / after every ray's exit; the march
+            # is VPU-compute-bound so the block DMA streaming underneath
+            # costs nothing extra). Fully-empty windows (zero-mask gap
+            # padding in static sparse runs) skip the plane build too.
+            live = _window_live(acc_ref[3], zb_ref, params_ref[15], wid,
+                                K, G) & (wmask != 0)
 
             @pl.when(live)
             def _live_window():
@@ -1006,10 +1001,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
         # interval, every gradient term is masked to zero (w = 0,
         # m = False) — zero-fill the window's grad block and skip its
         # ~(4 + 3bd)-plane adjoint
-        zw0 = ((wid * K).astype(_F32) + 0.5) / G
-        zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G
-        live = jnp.any((state_ref[0] >= params_ref[15])
-                       & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
+        live = _window_live(state_ref[0], zb_ref, params_ref[15], wid, K, G)
 
         @pl.when(live)
         def _live_window():
@@ -1018,7 +1010,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             # matmuls, plus the shade offsets/bbox mask — built once per
             # live window, skipped entirely for dead ones
             pre_w = _warp_pre(params_ref, G, gi)
-            pre_wT = _warp_preT(params_ref, G, gi)
+            pre_wT = _warp_pre(params_ref, G, gi, transposed=True)
             ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
             for dzi in dz_order:
                 _slab_bwd(dzi, pre_w, pre_wT, ycm, xcm, okb)
