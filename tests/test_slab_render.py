@@ -174,6 +174,25 @@ def test_pallas_interpret_early_exit_opaque(monkeypatch):
     _interpret_vs_xla(grid, cam, RenderOptions(max_steps=512), monkeypatch)
 
 
+@pytest.mark.parametrize("k_per_step", [1, 2, 8])
+def test_pallas_interpret_k_window_sizes(scene, monkeypatch, k_per_step):
+    """march_slabs must be invariant to the slabs-per-window grouping
+    (K-aligned occupancy masks, per-window hoisted planes, window
+    liveness gate all depend on K)."""
+    import jax
+    from volrend_tpu.ops import pallas_slab
+    dev, grid = scene
+    cam = make_cam((1, 0.2, 0.3), width=32, height=32)
+    orig = pallas_slab.march_slabs
+
+    def patched(*args, **kw):
+        kw["k_per_step"] = k_per_step
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pallas_slab, "march_slabs", patched)
+    _interpret_vs_xla(grid, cam, RenderOptions(max_steps=512), monkeypatch)
+
+
 def test_pallas_interpret_bf16_shade(scene, monkeypatch):
     """The display path's bfloat16 SH shading (march_slabs(shade_bf16=True))
     must agree with the XLA slab path: bf16 packs 2 values per VPU lane, so
