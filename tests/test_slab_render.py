@@ -512,3 +512,100 @@ def test_slab_fuzz_random_poses(scene):
                           f" PSNR {p:.1f}")
         checked += 1
     assert checked >= 6, f"only {checked} fuzz poses were slab-compatible"
+
+
+# ---------------------------------------------------------------------------
+# NDC/LLFF trees on the slab fast path
+# ---------------------------------------------------------------------------
+# The NDC warp (volrend.cu:34-54) is a projective map, so a pinhole ray
+# family stays a pinhole family in NDC space: the slab path renders NDC
+# trees by warping the pose geometry (center = pi(origin), slope grid from
+# warped corner dirs) and shading with the NDC-specific affine
+# slope->world-dir map (FrameGeom.dirM).
+
+@pytest.fixture(scope="module")
+def ndc_scene():
+    from volrend_tpu.models.n3tree import NdcConfig
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=4, sigma_scale=60.0)
+    tree.use_ndc = True
+    tree.ndc = NdcConfig(width=800.0, height=800.0, focal=1111.0)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    assert grid.ndc == (800.0, 800.0, 1111.0)
+    return dev, grid
+
+
+def make_ndc_cam(center=(0.0, 0.0, 0.2), back=(0.05, 0.02, 1.0),
+                 width=48, height=48, fx=52.0):
+    return Camera.from_vectors(center=center, v_back=back,
+                               v_world_up=(0.0, 1.0, 0.0),
+                               width=width, height=height, fx=fx)
+
+
+@pytest.mark.parametrize("center,back", [
+    ((0.0, 0.0, 0.2), (0.05, 0.02, 1.0)),    # camera behind z=0 plane
+    ((0.1, -0.05, 0.35), (-0.08, 0.05, 1.0)),
+    ((0.0, 0.0, -0.4), (0.0, 0.0, 1.0)),     # between scene and z=0
+    # near the z=0 plane (the default LLFF viewing pose, ndc_camera):
+    # warped rays are near-parallel — needs the range-proportional slope
+    # pad (an absolute pad collapses the intermediate resolution)
+    ((0.0, 0.0, 1e-3), (0.02, 0.01, 1.0)),
+    ((0.0, 0.0, -1e-4), (0.02, 0.01, 1.0)),
+])
+def test_ndc_slab_matches_exact(ndc_scene, center, back):
+    dev, grid = ndc_scene
+    cam = make_ndc_cam(center, back)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
+    assert perm[0] == 2 and np.isfinite(slope), (perm, slope)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    assert (ref[..., 3] > 0.5).mean() > 0.1
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    p = psnr(out[..., :3], ref[..., :3])
+    assert p > 33.0, f"NDC slab PSNR {p:.1f} dB (center={center})"
+    assert np.mean(np.abs(out[..., 3] - ref[..., 3]) > 0.5) < 0.02
+
+
+def test_ndc_slab_depth_mode(ndc_scene):
+    """Depth accumulates t from the NDC near plane (world2ndc places the
+    warped ray origin on z' = -1), not from the warped pinhole center."""
+    dev, grid = ndc_scene
+    cam = make_ndc_cam()
+    opt = RenderOptions(render_depth=True, max_steps=512)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    p = psnr(out[..., :3], ref[..., :3])
+    assert p > 30.0, f"NDC depth PSNR {p:.1f} dB"
+
+
+def test_ndc_interior_camera_falls_back(ndc_scene):
+    """A camera physically inside the scene content (origin z < -1) puts
+    the warped pinhole center inside the volume (the per-voxel slope
+    caustic) — choose_axis must flag the pose for the exact path."""
+    dev, grid = ndc_scene
+    cam = make_ndc_cam(center=(0.0, 0.0, -2.0))
+    _, _, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
+    assert not np.isfinite(slope)
+    # camera exactly on the z=0 plane: pi(origin) is at infinity
+    cam0 = make_ndc_cam(center=(0.0, 0.0, 0.0))
+    _, _, slope0 = slab_render.choose_axis(
+        grid, cam0.transform, cam0.fx, cam0.fy, cam0.width, cam0.height)
+    assert not np.isfinite(slope0)
+
+
+def test_pallas_interpret_ndc(ndc_scene, monkeypatch):
+    """The fused kernel's affine slope->dir shading (params[20:29]) must
+    reproduce the XLA slab path on an NDC tree."""
+    dev, grid = ndc_scene
+    cam = make_ndc_cam(width=32, height=32, fx=36.0)
+    _interpret_vs_xla(grid, cam, RenderOptions(max_steps=512), monkeypatch)
+
+
+def test_pallas_interpret_ndc_depth(ndc_scene, monkeypatch):
+    dev, grid = ndc_scene
+    cam = make_ndc_cam(width=32, height=32, fx=36.0)
+    _interpret_vs_xla(grid, cam, RenderOptions(render_depth=True,
+                                               max_steps=512),
+                      monkeypatch, gate=40.0)

@@ -79,7 +79,7 @@ def main():
              inv_scale_t[perm[2]]),
             (inv_scale_t[0], inv_scale_t[1], inv_scale_t[2]),
             jnp.asarray(opt.sigma_thresh), jnp.asarray(opt.stop_thresh),
-            g.lo[1], g.hi[1], g.lo[2], g.hi[2])
+            g.lo[1], g.hi[1], g.lo[2], g.hi[2], g.dirM, g.z0_depth)
         zb = jnp.stack([g.z_lo_pix, g.z_hi_pix])
         acc4 = pallas_slab.march_slabs(
             pay, params, grid.qscale, zb, G, gi, grid.data_dim,

@@ -207,8 +207,13 @@ def ndc_camera(ndc, width: int = 800, height: int = 800,
                      movement_speed=0.1)
     cam.origin = np.array([0.0, 0.0, -3.0], np.float32)
     cam.v_world_up = np.array([0.0, 1.0, 0.0], np.float32)
+    # nudged off the exact z=0 plane: there the projective NDC image of the
+    # camera is at infinity (warped rays turn parallel), which the slab
+    # fast path's finite-pinhole parameterization cannot express — 1e-3
+    # is visually identical at this focal and keeps the default LLFF pose
+    # on the fast path (slab_render.choose_axis NDC gates)
     cam.update_basis(v_back=np.array([0.0, 0.0, 1.0]),
-                     center=np.zeros(3))
+                     center=np.array([0.0, 0.0, 1e-3]))
     return cam
 
 

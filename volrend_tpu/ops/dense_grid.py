@@ -41,7 +41,7 @@ def _register(cls):
         data_fields=["data", "offset", "scale", "extra", "qscale",
                      "sigma_grid"],
         meta_fields=["G", "data_dim", "basis_dim", "fmt", "quantized",
-                     "occ_max"],
+                     "occ_max", "ndc"],
     )(cls)
 
 
@@ -75,6 +75,12 @@ class DenseGrid:
     #: tree axis a (3 tuples of G floats; static so the renderer can cull
     #: empty slabs at trace time). None = unknown (no culling).
     occ_max: Optional[Tuple[Tuple[float, ...], ...]] = None
+    #: (width, height, focal) of the LLFF/NDC warp when the tree lives in
+    #: NDC coordinates (TreeArrays.ndc); None for world-space trees. The
+    #: slab renderer uses it to warp pose geometry into NDC space — the
+    #: NDC map is projective, so a pinhole ray family stays a pinhole
+    #: family and the shear-warp factorization still applies.
+    ndc: Optional[Tuple[float, float, float]] = None
 
     def slab_ids(self, axis: int, reverse: bool,
                  sigma_thresh: float) -> Tuple[int, ...]:
@@ -194,4 +200,5 @@ def bake_dense(tree, G: Optional[int] = None,
         fmt=dev.fmt,
         quantized=quantized,
         occ_max=occ_max,
+        ndc=dev.ndc,
     )

@@ -142,7 +142,7 @@ def _sh_planes(bd: int, x, y, z):
 
 
 # params vector layout (f32): see _pack_params
-_NP = 20
+_NP = 30
 
 
 def _warp_half(shape, cell_on_rows: bool, r0, dr, G: int):
@@ -247,12 +247,24 @@ def _shade_pre(p, G: int, bbox_full: bool):
 
 
 def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
-                 sigma_thresh, stop_thresh, lo1, hi1, lo2, hi2):
-    return jnp.stack([
-        cz, cy, cx, u0, du, v0, dv, sgn, spp[0], spp[1], spp[2],
-        inv_scale[0], inv_scale[1], inv_scale[2],
-        sigma_thresh, stop_thresh, lo1, hi1, lo2, hi2,
-    ]).astype(_F32)
+                 sigma_thresh, stop_thresh, lo1, hi1, lo2, hi2,
+                 dirM, z0_depth):
+    """params[20:29] = dirM row-major: the per-frame affine map from a
+    voxel's slope-grid coordinates to its (unnormalized) world view
+    direction, dir[a] = dirM[a,0] + dirM[a,1]*u + dirM[a,2]*v (covers
+    world-space AND NDC trees — slab_render.FrameGeom builds it).
+    params[29] = the depth-mode t origin along the slab axis (the camera
+    center for world trees, the near plane for NDC trees)."""
+    dirM = jnp.asarray(dirM, _F32).reshape(-1)
+    return jnp.concatenate([
+        jnp.stack([
+            cz, cy, cx, u0, du, v0, dv, sgn, spp[0], spp[1], spp[2],
+            inv_scale[0], inv_scale[1], inv_scale[2],
+            sigma_thresh, stop_thresh, lo1, hi1, lo2, hi2,
+        ]).astype(_F32),
+        dirM,
+        jnp.asarray(z0_depth, _F32).reshape(1),
+    ])
 
 
 def _zb_planes(params, zbounds, G: int, gi: int):
@@ -293,7 +305,6 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
     Mosaic's automatic block pipeline measures DMA + compute ADDITIVE for
     this kernel (march ~= stream + shade), so the overlap is hand-rolled
     (the pallas guide's double-buffering pattern)."""
-    slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}  # tree axis -> permuted slot
     from volrend_tpu.models.data_format import BasisType
     bt = BasisType(fmt)
     # march order inside a K-aligned window
@@ -324,9 +335,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             occupied = (wmask >> dzi) & 1
             p = params_ref
             cz = p[0]
-            sgn = p[7]
-            # p[8:11] (spp) feed _zb_planes only — not read in-kernel
-            inv_s = (p[11], p[12], p[13])
+            # p[7:14] (sgn, spp, inv_scale) feed _zb_planes / FrameGeom
+            # only — the kernel reads dirs from the affine map p[20:29]
             sigma_thresh, stop_thresh = p[14], p[15]
 
             z = (sid.astype(_F32) + 0.5) / G
@@ -358,9 +368,11 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 srgb = [sigma * slab_ref[dzi, c].astype(_F32) * qs_ref[c]
                         for c in range(3)]
             else:
-                # per-voxel world view direction -> basis shading
-                d_perm = (jnp.full((G, G), sgn, _F32), sgn * uyv, sgn * uxv)
-                dw = [d_perm[slot[a]] * inv_s[a] for a in range(3)]
+                # per-voxel world view direction -> basis shading: the
+                # per-frame affine slope->dir map (params 20:29; covers
+                # world + NDC trees, see _pack_params / FrameGeom.dirM)
+                dw = [p[20 + 3 * a] + p[21 + 3 * a] * uyv
+                      + p[22 + 3 * a] * uxv for a in range(3)]
                 rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1]
                                   + dw[2] * dw[2])
                 dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
@@ -442,7 +454,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                  & (tau_w > 0.0))
             w = jnp.where(m, T * (1.0 - att), 0.0)
             if depth:
-                tview = jnp.abs(s) * zb_ref[3]
+                tview = jnp.abs(z - p[29]) * zb_ref[3]
                 acc_ref[0] = acc_ref[0] + w * tview
             else:
                 wn = w * sig_inv
@@ -826,7 +838,6 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
     window's grad block. Every window is visited exactly once, so each
     output block is written wholesale (no collisions, no pre-zeroing pass).
     """
-    slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}
     from volrend_tpu.models.data_format import BasisType
     bt = BasisType(fmt)
     dz_order = range(K - 1, -1, -1) if flip else range(K)
@@ -849,9 +860,8 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             sid = wid * K + dzi
             p = params_ref
             cz = p[0]
-            sgn = p[7]
-            # p[8:11] (spp) feed _zb_planes only — not read in-kernel
-            inv_s = (p[11], p[12], p[13])
+            # p[7:14] (sgn, spp, inv_scale) feed _zb_planes / FrameGeom
+            # only — the kernel reads dirs from the affine map p[20:29]
             sigma_thresh, stop_thresh = p[14], p[15]
 
             z = (sid.astype(_F32) + 0.5) / G
@@ -871,8 +881,9 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             sigma = jnp.where(ok, sigma, 0.0)
 
             def make_planes():
-                d_perm = (jnp.full((G, G), sgn, _F32), sgn * uyv, sgn * uxv)
-                dw = [d_perm[slot[a]] * inv_s[a] for a in range(3)]
+                # affine slope->world-dir map (see _pack_params)
+                dw = [p[20 + 3 * a] + p[21 + 3 * a] * uyv
+                      + p[22 + 3 * a] * uxv for a in range(3)]
                 rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1]
                                   + dw[2] * dw[2])
                 dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm

@@ -493,7 +493,8 @@ def _pack_geom_params(geom, cfg: SlabCfg, inv_scale):
         (inv_scale[0], inv_scale[1], inv_scale[2]),
         jnp.asarray(cfg.opt.sigma_thresh),
         jnp.asarray(cfg.opt.stop_thresh),
-        geom.lo[1], geom.hi[1], geom.lo[2], geom.hi[2])
+        geom.lo[1], geom.hi[1], geom.lo[2], geom.hi[2],
+        geom.dirM, geom.z0_depth)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -71,6 +71,37 @@ def _cam_corners(width: int, height: int, fx: float, fy: float,
                      -np.ones_like(px)], -1)
 
 
+def _ndc_warp_dirs_np(ndc, dirs, origin):
+    """Host-side NDC warp of world dirs sharing one origin (the world2ndc
+    semantics of volrend.cu:34-54, np twin of render_jax.world2ndc).
+    Returns UNnormalized NDC-space directions (slopes are scale-free)."""
+    W, H, focal = (float(v) for v in ndc)
+    o = np.asarray(origin, np.float64)
+    d = np.asarray(dirs, np.float64)
+    dz = d[:, 2]
+    t = -(1.0 + o[2]) / dz
+    cen = o[None, :] + t[:, None] * d
+    sx = -(2.0 * focal) / W
+    sy = -(2.0 * focal) / H
+    return np.stack([
+        sx * (d[:, 0] / dz - cen[:, 0] / cen[:, 2]),
+        sy * (d[:, 1] / dz - cen[:, 1] / cen[:, 2]),
+        -2.0 / cen[:, 2],
+    ], -1)
+
+
+def _ndc_center_np(ndc, origin):
+    """NDC image of the camera origin under the projective NDC map
+    pi(x,y,z) = (sx*x/z, sy*y/z, 1 + 2/z). The NDC warp is projective, so
+    every warped ray passes through pi(origin): the warped ray family is
+    still a pinhole family and the shear-warp factorization applies."""
+    W, H, focal = (float(v) for v in ndc)
+    ox, oy, oz = (float(v) for v in origin)
+    sx = -(2.0 * focal) / W
+    sy = -(2.0 * focal) / H
+    return np.array([sx * ox / oz, sy * oy / oz, 1.0 + 2.0 / oz])
+
+
 def choose_axis(grid: DenseGrid, transform: np.ndarray,
                 fx: float, fy: float, width: int, height: int
                 ) -> Tuple[Tuple[int, int, int], bool, float]:
@@ -80,24 +111,55 @@ def choose_axis(grid: DenseGrid, transform: np.ndarray,
     col); flip=True when rays march toward -slab. max_abs_slope gauges
     whether the pose is renderable (all boundary rays share the slab-axis
     sign); inf when not.
+
+    NDC trees: pose geometry is warped into NDC space first (the tree's
+    coordinate system). The slab axis must be the NDC z axis and the
+    warped pinhole center must sit outside the volume's z range — other
+    poses return inf and fall back to the exact T2 renderer.
     """
-    R = np.asarray(transform, np.float64).reshape(3, 4)[:, :3]
+    tf = np.asarray(transform, np.float64).reshape(3, 4)
+    R = tf[:, :3]
     scale = np.asarray(grid.scale, np.float64)
     d_cam = _cam_corners(width, height, fx, fy)
-    d_tree = (d_cam @ R.T) * scale
-    fwd = scale * (R @ np.array([0.0, 0.0, -1.0]))
-    m = int(np.argmax(np.abs(fwd)))
+    d_world = d_cam @ R.T
+    fwd_w = R @ np.array([0.0, 0.0, -1.0])
+    c4 = np.array([[0.0, 0.0], [width, 0.0], [0.0, height],
+                   [width, height]])
+    d4_world = np.stack([(c4[:, 0] - 0.5 * width) / fx,
+                         -(c4[:, 1] - 0.5 * height) / fy,
+                         -np.ones(4)], -1) @ R.T
+    if grid.ndc is not None:
+        o = tf[:, 3]
+        # degenerate for the projective warp: camera on the z=0 plane
+        # (pi(o) at infinity) or any boundary ray not looking forward
+        if abs(o[2]) < 1e-6 or np.any(d_world[:, 2] >= -1e-12):
+            return (2, 0, 1), False, float("inf")
+        # warped pinhole center inside the volume's z' range would put the
+        # ray caustic inside the grid (per-voxel slopes are ill-defined on
+        # the slab through the center) — scene-interior cameras fall back
+        c_ndc = _ndc_center_np(grid.ndc, o)
+        if -1.05 < c_ndc[2] < 1.05:
+            return (2, 0, 1), False, float("inf")
+        d_tree = _ndc_warp_dirs_np(grid.ndc, d_world, o) * scale
+        fwd = _ndc_warp_dirs_np(grid.ndc, fwd_w[None], o)[0] * scale
+        d4 = _ndc_warp_dirs_np(grid.ndc, d4_world, o) * scale
+        m = int(np.argmax(np.abs(fwd)))
+        if m != 2:
+            # shading dirs are affine in the slope grid only when the slab
+            # axis is the NDC z axis (see FrameGeom); else exact path
+            return (m, (m + 1) % 3, (m + 2) % 3), bool(fwd[m] < 0), \
+                float("inf")
+    else:
+        d_tree = d_world * scale
+        d4 = d4_world * scale
+        fwd = scale * fwd_w
+        m = int(np.argmax(np.abs(fwd)))
     a, b = (m + 1) % 3, (m + 2) % 3
 
     # orient the cross axes to the screen: the intermediate image's row
     # coordinate (slope u along perm[1]) should track screen rows, so the
     # final warp's row-banded gather sees narrow bands. Compare how u
     # changes across the 4 image corners along screen x vs screen y.
-    c4 = np.array([[0.0, 0.0], [width, 0.0], [0.0, height],
-                   [width, height]])
-    d4 = np.stack([(c4[:, 0] - 0.5 * width) / fx,
-                   -(c4[:, 1] - 0.5 * height) / fy,
-                   -np.ones(4)], -1) @ R.T * scale
     dm = d4[:, m]
     if not np.any(dm == 0):
         ua = d4[:, a] / dm
@@ -218,15 +280,15 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
     def fields(tr):
         g = FrameGeom(grid, tr, fx, fy, perm, flip, width, height, opt, gi)
         params, zb = _pallas_frame_fields(grid, g, perm, flip, opt)
-        return params, zb, g.R, g.u0, g.du, g.v0, g.dv
+        return params, zb, g.R, g.u0, g.du, g.v0, g.dv, g.origin_w
 
     stacked = jax.vmap(fields)(transforms)
 
     def one(args):
-        params, zb, R, u0, du, v0, dv = args
+        params, zb, R, u0, du, v0, dv, origin = args
         return _pallas_march_finalize(
             grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
-            flip, width, height, opt, gi)
+            flip, width, height, opt, gi, origin=origin)
 
     return lax.map(one, stacked)
 
@@ -243,7 +305,7 @@ def _pallas_frame_fields(grid: DenseGrid, g: "FrameGeom", perm, flip: bool,
         (inv_scale_t[perm[0]], inv_scale_t[perm[1]], inv_scale_t[perm[2]]),
         (inv_scale_t[0], inv_scale_t[1], inv_scale_t[2]),
         jnp.asarray(opt.sigma_thresh), jnp.asarray(opt.stop_thresh),
-        g.lo[1], g.hi[1], g.lo[2], g.hi[2])
+        g.lo[1], g.hi[1], g.lo[2], g.hi[2], g.dirM, g.z0_depth)
     zb = jnp.stack([g.z_lo_pix, g.z_hi_pix])
     return params, zb
 
@@ -252,7 +314,7 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
                            u0, du, v0, dv, fx, fy,
                            perm: Tuple[int, int, int], flip: bool,
                            width: int, height: int, opt: RenderOptions,
-                           gi: int):
+                           gi: int, origin=None):
     """March one pose through the fused kernel, then finalize + warp
     (shared by the single-pose and batched paths)."""
     from volrend_tpu.ops import pallas_slab
@@ -275,7 +337,7 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
     stopped = T < _F32(opt.stop_thresh)
     return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
                               width, height, gi, perm, u0, du, v0, dv,
-                              grid.scale)
+                              grid.scale, origin=origin)
 
 
 def _bbox_full(opt: RenderOptions) -> bool:
@@ -342,7 +404,20 @@ class FrameGeom:
         self.fy = fy = jnp.asarray(fy, _F32)
 
         self.scale = scale = grid.scale
-        c_t = grid.offset + scale * transform[:, 3]
+        self.origin_w = o_w = transform[:, 3]
+        self.ndc = ndc = grid.ndc
+        if ndc is not None:
+            # tree coords ARE NDC coords; the pinhole center of the warped
+            # ray family is pi(origin) (see _ndc_center_np)
+            W_n, H_n, focal_n = (_F32(v) for v in ndc)
+            n_sx = -(2.0 * focal_n) / W_n
+            n_sy = -(2.0 * focal_n) / H_n
+            c_ndc = jnp.stack([n_sx * o_w[0] / o_w[2],
+                               n_sy * o_w[1] / o_w[2],
+                               1.0 + 2.0 / o_w[2]])
+            c_t = grid.offset + scale * c_ndc
+        else:
+            c_t = grid.offset + scale * o_w
         self.cz, self.cy, self.cx = (c_t[perm[0]], c_t[perm[1]],
                                      c_t[perm[2]])
         cz, cy, cx = self.cz, self.cy, self.cx
@@ -353,13 +428,28 @@ class FrameGeom:
         # rescale the unit-focal boundary by actual fx/fy
         corners_cam = corners_cam.at[:, 0].mul(1.0 / fx).at[:, 1].mul(
             1.0 / fy)
-        d_tree_c = (corners_cam @ self.R.T) * scale
+        d_world_c = corners_cam @ self.R.T
+        if ndc is not None:
+            from volrend_tpu.ops.render_jax import world2ndc
+            ndir_c, _ = world2ndc(
+                ndc, d_world_c, jnp.broadcast_to(o_w, d_world_c.shape))
+            d_tree_c = ndir_c * scale
+        else:
+            d_tree_c = d_world_c * scale
         uc, vc = _slopes_from_dirs(d_tree_c, perm)
-        pad = 0.5 / gi
-        self.u0 = u0 = jnp.min(uc) - pad
-        u1 = jnp.max(uc) + pad
-        self.v0 = v0 = jnp.min(vc) - pad
-        v1 = jnp.max(vc) + pad
+        # half-texel guard band, PROPORTIONAL to each axis's slope range:
+        # an absolute pad would swamp the tiny slope ranges of near-parallel
+        # ray families (NDC cameras near the z=0 plane warp to slopes
+        # ~2|oz|, and an absolute 0.5/gi pad left ~20% of the intermediate
+        # grid covering the image)
+        ur = jnp.maximum(jnp.max(uc) - jnp.min(uc), 1e-6)
+        vr = jnp.maximum(jnp.max(vc) - jnp.min(vc), 1e-6)
+        upad = 0.5 * ur / gi
+        vpad = 0.5 * vr / gi
+        self.u0 = u0 = jnp.min(uc) - upad
+        u1 = jnp.max(uc) + upad
+        self.v0 = v0 = jnp.min(vc) - vpad
+        v1 = jnp.max(vc) + vpad
         self.du = du = (u1 - u0) / (gi - 1)
         self.dv = dv = (v1 - v0) / (gi - 1)
         # rows (axis perm[1]) / columns (axis perm[2])
@@ -368,6 +458,40 @@ class FrameGeom:
 
         self.sgn = _F32(-1.0 if flip else 1.0)
         self.inv = np.argsort(perm)
+
+        # ---- shading-direction affine map ---------------------------------
+        # the world view direction at a voxel is an affine function of the
+        # voxel's slope-grid coordinates (u, v), normalized per voxel:
+        #   dir_world[a] = dirM[a, 0] + dirM[a, 1]*u + dirM[a, 2]*v
+        # world trees: dir ~ sgn * permuted(1, u, v) / scale (the ray
+        # through the pinhole center). NDC trees: the world dir of the ray
+        # whose NDC line has slopes (s_x', s_y') is
+        #   dir ~ -(q_x/sx, q_y/sy, 1),  q_j = c'_j + (1 - c'_z) * s_j
+        # (evaluate the NDC line at z'=1, where pi maps the world point at
+        # infinity: x'(1) = sx * Dx / Dz) — still affine in (u, v).
+        zero = _F32(0.0)
+        slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}
+        if ndc is not None:
+            one_m_cz = 1.0 - c_ndc[2]
+            rows = {2: jnp.stack([_F32(-1.0), zero, zero])}
+            for axis, sdiv in ((0, n_sx), (1, n_sy)):
+                c = [-c_ndc[axis] / sdiv, zero, zero]
+                # NDC slope of axis j per slope-grid unit: scale[2]/scale[j]
+                c[slot[axis]] = -one_m_cz * (scale[2] / scale[axis]) / sdiv
+                rows[axis] = jnp.stack(c)
+            self.dirM = jnp.stack([rows[0], rows[1], rows[2]])
+            # depth-mode t origin: rays start on the near plane z' = -1
+            # (world2ndc parameterizes from the near-plane point)
+            self.z0_depth = grid.offset[2] - scale[2]
+        else:
+            inv_scale = 1.0 / scale
+            rows = []
+            for a in range(3):
+                c = [zero, zero, zero]
+                c[slot[a]] = self.sgn * inv_scale[a]
+                rows.append(jnp.stack(c))
+            self.dirM = jnp.stack(rows)
+            self.z0_depth = cz
 
         bb = np.asarray(opt.render_bbox, np.float32)
         self.lo = lo = jnp.asarray(bb[:3])[jnp.asarray(perm)]
@@ -398,10 +522,15 @@ class FrameGeom:
         z_hi_pix = jnp.minimum(ymax[:, None], xmax[None, :])
         z_lo_pix = jnp.maximum(z_lo_pix, lo[0])
         z_hi_pix = jnp.minimum(z_hi_pix, hi[0])
-        if flip:
-            z_hi_pix = jnp.minimum(z_hi_pix, cz)
-        else:
-            z_lo_pix = jnp.maximum(z_lo_pix, cz)
+        if ndc is None:
+            # t > 0: nothing behind the camera center. NDC rays start on
+            # the near plane z' = -1 (the volume's z boundary), which the
+            # bbox clamp above already enforces — and the warped center can
+            # legitimately sit beyond the far plane (cameras at z > 0).
+            if flip:
+                z_hi_pix = jnp.minimum(z_hi_pix, cz)
+            else:
+                z_lo_pix = jnp.maximum(z_lo_pix, cz)
         self.z_lo_pix, self.z_hi_pix = z_lo_pix, z_hi_pix
 
         # static march-ordered slab list with empty slabs culled (occupancy
@@ -436,7 +565,8 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
     cz, cy, cx = g.cz, g.cy, g.cx
     u0, du, v0, dv = g.u0, g.du, g.v0, g.dv
     uy, ux = g.uy, g.ux
-    sgn, inv, lo, hi = g.sgn, g.inv, g.lo, g.hi
+    lo, hi = g.lo, g.hi
+    dirM, z0_depth = g.dirM, g.z0_depth
     z_lo_pix, z_hi_pix = g.z_lo_pix, g.z_hi_pix
     n_ids, ids_arr, k0 = g.n_ids, g.ids_arr, g.k0
 
@@ -446,7 +576,7 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         params, zb = _pallas_frame_fields(grid, g, perm, flip, opt)
         return _pallas_march_finalize(
             grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
-            flip, width, height, opt, gi)
+            flip, width, height, opt, gi, origin=g.origin_w)
 
     # Key restructuring for TPU dataflow: shade (SH -> rgb) *per voxel in
     # slab layout* first, then resample only 4 channels [sigma, sigma*rgb]
@@ -491,11 +621,11 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         else:
             uvox = (vox - cy) / s                       # (G,) slope of ray
             vvox = (vox - cx) / s                       #      through voxel
-            dvox = jnp.stack([
-                jnp.broadcast_to(sgn, (G, G)),
-                sgn * uvox[:, None] * jnp.ones((1, G), _F32),
-                sgn * jnp.ones((G, 1), _F32) * vvox[None, :],
-            ], -1)[..., inv] / scale
+            # world view direction = per-frame affine map of the voxel's
+            # slope coordinates (FrameGeom.dirM; covers world + NDC trees)
+            dvox = (dirM[:, 0][None, None]
+                    + uvox[:, None, None] * dirM[:, 1][None, None]
+                    + vvox[None, :, None] * dirM[:, 2][None, None])
             dvox = dvox / jnp.linalg.norm(dvox, axis=-1, keepdims=True)
             rot = _rodrigues(opt.rot_dirs)
             if rot is not None:
@@ -533,7 +663,7 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         tau_w = sig_w * dt_pix
         att = jnp.exp(-tau_w)
         if opt.render_depth:
-            tview = jnp.abs(s) * jnp.sqrt(
+            tview = jnp.abs(z - z0_depth) * jnp.sqrt(
                 1.0 + (uy ** 2)[:, None] + (ux ** 2)[None, :])
             rgb = jnp.stack([tview, jnp.zeros_like(sig_w),
                              jnp.zeros_like(sig_w)], -1)
@@ -568,12 +698,13 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
     else:
         _, acc, T, stopped, _ = init
     return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
-                              width, height, gi, perm, u0, du, v0, dv, scale)
+                              width, height, gi, perm, u0, du, v0, dv, scale,
+                              origin=g.origin_w)
 
 
 def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
                        width: int, height: int, gi: int, perm,
-                       u0, du, v0, dv, scale):
+                       u0, du, v0, dv, scale, origin=None):
     # ---- finalize (rt_core.cuh:176-194 semantics) -------------------------
     renorm = stopped & opt.renormalize
     if opt.render_depth:
@@ -587,12 +718,14 @@ def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
         inter_alpha = jnp.where(stopped, 1.0, 1.0 - T)
     inter = jnp.concatenate([inter_rgb, inter_alpha[..., None]], -1)
     return _warp_to_screen(inter, opt, R, fx, fy, width, height, gi, perm,
-                           u0, du, v0, dv, scale)
+                           u0, du, v0, dv, scale, ndc=grid.ndc,
+                           origin=origin)
 
 
 def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
                     width: int, height: int, gi: int, perm,
-                    u0, du, v0, dv, scale, precise: bool = False):
+                    u0, du, v0, dv, scale, precise: bool = False,
+                    ndc=None, origin=None):
     """Projective bilinear warp of the (gi, gi, 4) intermediate image to the
     (height, width, 4) screen, plus background compositing. Linear in
     ``inter`` (autodiff-friendly: gathers transpose to scatters).
@@ -606,7 +739,17 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
         jnp.broadcast_to(px[None, :], (height, width)),
         jnp.broadcast_to(py[:, None], (height, width)),
         -jnp.ones((height, width), _F32)], -1)
-    d_tree_s = jnp.einsum("hwc,kc->hwk", d_cam, R) * scale
+    d_world_s = jnp.einsum("hwc,kc->hwk", d_cam, R)
+    if ndc is not None:
+        # each screen pixel's ray maps into NDC slope space through the
+        # projective warp (the screen->slope map is a homography; this
+        # per-pixel resample absorbs it, same as the world-tree case)
+        from volrend_tpu.ops.render_jax import world2ndc
+        ndir_s, _ = world2ndc(
+            ndc, d_world_s, jnp.broadcast_to(origin, d_world_s.shape))
+        d_tree_s = ndir_s * scale
+    else:
+        d_tree_s = d_world_s * scale
     us, vs = _slopes_from_dirs(d_tree_s, perm)
     gy = (us - u0) / du
     gx = (vs - v0) / dv
