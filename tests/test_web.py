@@ -108,7 +108,9 @@ def test_ndc_camera_init():
     cam = ndc_camera(ndc, width=640, height=480)
     assert cam.fx == pytest.approx(200.0)
     assert cam.fy == pytest.approx(200.0)
-    np.testing.assert_allclose(cam.center, [0, 0, 0])
+    # nudged 1e-3 off the z=0 plane so the default pose stays on the slab
+    # fast path (pi(origin) is at infinity exactly on the plane)
+    np.testing.assert_allclose(cam.center, [0, 0, 1e-3], atol=1e-7)
     np.testing.assert_allclose(cam.v_back, [0, 0, 1])
     np.testing.assert_allclose(cam.origin, [0, 0, -3])
     np.testing.assert_allclose(cam.v_world_up, [0, 1, 0])
@@ -255,3 +257,106 @@ def test_visualization_options_roundtrip(server):
                               "basis_minmax": [0, 24],
                               "rot_dirs": [0.0, 0.0, 0.0],
                               "render_bbox": [0, 0, 0, 1, 1, 1]})
+
+
+def test_anim_keyframe_editor(server, tmp_path):
+    """Keyframe animation editor endpoints (the main_anim.cpp:350-925
+    ImGui editor analog): capture/list/update/goto/seek/save/delete."""
+    base, state = server
+    state.keyframes = []
+    # two poses captured from live camera state
+    _post(base + "/event", {"type": "key", "key": "w"})
+    a = json.loads(_post(base + "/anim/capture", {"t_max": 2.0}))
+    assert a["n"] == 1 and a["index"] == 0
+    c0 = np.asarray(state.cam.center, float).copy()
+    _post(base + "/event", {"type": "key", "key": "d", "shift": True})
+    a = json.loads(_post(base + "/anim/capture", {}))
+    assert a["n"] == 2
+    c1 = np.asarray(state.cam.center, float).copy()
+    assert not np.allclose(c0, c1)
+
+    lst = json.loads(_get(base + "/anim/list"))
+    assert lst["n"] == 2
+    # segment duration = END keyframe's t_max (frame_times semantics)
+    assert lst["total"] == lst["keyframes"][1]["t_max"]
+
+    # update duration
+    json.loads(_post(base + "/anim/update", {"index": 1, "t_max": 4.0}))
+    lst = json.loads(_get(base + "/anim/list"))
+    assert lst["total"] == 4.0
+
+    # goto restores the captured pose exactly
+    _post(base + "/anim/goto", {"index": 0})
+    np.testing.assert_allclose(np.asarray(state.cam.center, float), c0,
+                               atol=1e-5)
+
+    # seek to the midpoint matches anim.interpolate directly
+    from volrend_tpu import anim
+    out = json.loads(_post(base + "/anim/seek", {"t": 2.0}))
+    assert out["segment"] == 0 and abs(out["q"] - 0.5) < 1e-6
+    want = anim.interpolate(state.keyframes[0], state.keyframes[1], 0.5,
+                            state.cam.v_world_up, first_segment=True)
+    np.testing.assert_allclose(np.asarray(state.cam.center, float),
+                               np.asarray(want[0], float), atol=1e-5)
+
+    # save round-trips through the cli/animate script loader
+    p = tmp_path / "anim.json"
+    out = json.loads(_post(base + "/anim/save", {"path": str(p)}))
+    assert out["n"] == 2
+    kfs, cfg = anim.load_script(str(p))
+    assert len(kfs) == 2 and kfs[1].t_max == 4.0
+    np.testing.assert_allclose(kfs[0].center, c0, atol=1e-6)
+
+    # load replaces the editor state
+    state.keyframes = []
+    out = json.loads(_post(base + "/anim/load", {"path": str(p)}))
+    assert out["n"] == 2
+
+    # delete
+    out = json.loads(_post(base + "/anim/delete", {"index": 0}))
+    assert out["n"] == 1
+    state.keyframes = []
+
+
+def test_anim_export_frames(server, tmp_path):
+    """Export renders every scheduled frame to PNG (main_anim.cpp:95-110
+    export mode), reporting progress via /anim/list."""
+    import time
+    base, state = server
+    state.keyframes = []
+    _post(base + "/anim/capture", {})
+    _post(base + "/event", {"type": "key", "key": "a"})
+    _post(base + "/anim/capture", {"t_max": 0.5})
+    out_dir = tmp_path / "frames"
+    out = json.loads(_post(base + "/anim/export", {
+        "path": str(out_dir), "fps": 4, "width": 32, "height": 32}))
+    assert out["started"]
+    for _ in range(600):
+        if not state.anim_status["running"]:
+            break
+        time.sleep(0.1)
+    assert not state.anim_status["running"]
+    import os
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == out["total"] == state.anim_status["done"]
+    from volrend_tpu.utils.png import read_png
+    img = read_png(str(out_dir / files[0]))
+    assert img.shape == (32, 32, 4)
+    state.keyframes = []
+
+
+def test_anim_error_paths(server):
+    base, state = server
+    state.keyframes = []
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base + "/anim/seek", {"t": 0.0})   # needs >= 2 keyframes
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base + "/anim/bogus", {})
+
+
+def test_viewer_page_has_anim_ui(server):
+    base, _ = server
+    html = _get(base + "/").decode()
+    for frag in ("animCapture", "animPlay", "animExport", "/anim/seek"):
+        assert frag in html

@@ -88,6 +88,26 @@ label { user-select:none }
   <div class="row"><label>obj</label>
     <input type="file" style="width:150px"
      onchange="uploadAsset('obj', this)"></div>
+  <h3>Animation</h3>
+  <div class="row">
+    <button onclick="animCapture()">capture kf</button>
+    <button id="playbtn" onclick="animPlay()">play</button>
+  </div>
+  <div id="kfs"></div>
+  <div class="row">
+    <input id="animt" type="range" min="0" max="1" step="0.01" value="0"
+     style="width:180px" oninput="animSeek(+this.value)">
+  </div>
+  <div class="row">
+    <input id="animpath" placeholder="anim.json" style="width:110px">
+    <button onclick="animIO('save')">save</button>
+    <button onclick="animIO('load')">load</button>
+  </div>
+  <div class="row">
+    <input id="animexp" placeholder="frames/" style="width:110px">
+    <button onclick="animExport()">export</button>
+    <span id="animstat"></span>
+  </div>
   <h3>Lumisphere probe</h3>
   <div class="row">
     <input id="px" type="number" value="0" step="0.1" style="width:55px">
@@ -177,6 +197,69 @@ canvas.addEventListener('touchend', e => {
   touches = null;
   post('/event', {type:'up'});
 }, {passive:false});
+// keyframe animation editor (main_anim.cpp editor analog)
+let animTotal = 0, playTimer = null;
+async function animList() {
+  const a = await (await fetch('/anim/list')).json();
+  animTotal = a.total;
+  document.getElementById('animt').max = Math.max(a.total, 0.01);
+  const kd = document.getElementById('kfs');
+  kd.innerHTML = '';
+  a.keyframes.forEach((kf, i) => {
+    kd.insertAdjacentHTML('beforeend',
+      `<div class="row"><a href="#" onclick="post('/anim/goto',{index:${i}});
+         return false">kf${i}</a>
+       t<input type="number" value="${kf.t_max}" step="0.25" min="0.05"
+        style="width:44px" onchange="post('/anim/update',
+         {index:${i}, t_max:+this.value}); animList()">
+       loops<input type="number" value="${kf.loops}" step="1"
+        style="width:34px" onchange="post('/anim/update',
+         {index:${i}, loops:+this.value})">
+       <button onclick="post('/anim/delete',{index:${i}});
+        setTimeout(animList,100)">x</button></div>`);
+  });
+  if (a.export.running)
+    document.getElementById('animstat').textContent =
+      `${a.export.done}/${a.export.total}`;
+  return a;
+}
+async function animCapture() {
+  await fetch('/anim/capture', {method:'POST', body:'{}'});
+  animList();
+}
+function animSeek(t) { post('/anim/seek', {t}); }
+function animPlay() {
+  const btn = document.getElementById('playbtn');
+  if (playTimer) {
+    clearInterval(playTimer); playTimer = null;
+    btn.textContent = 'play'; return;
+  }
+  let t = 0;
+  const t0 = performance.now();
+  btn.textContent = 'stop';
+  playTimer = setInterval(() => {
+    t = (performance.now() - t0) / 1000;
+    if (t >= animTotal) { clearInterval(playTimer); playTimer = null;
+                          btn.textContent = 'play'; t = animTotal; }
+    document.getElementById('animt').value = t;
+    animSeek(t);
+  }, 100);
+}
+async function animIO(op) {
+  const path = document.getElementById('animpath').value || 'anim.json';
+  await fetch(`/anim/${op}`, {method:'POST',
+                              body: JSON.stringify({path})});
+  animList();
+}
+async function animExport() {
+  const path = document.getElementById('animexp').value || 'frames';
+  await fetch('/anim/export', {method:'POST',
+                               body: JSON.stringify({path, fps: 30})});
+  const tick = setInterval(async () => {
+    const a = await animList();
+    if (!a.export.running) clearInterval(tick);
+  }, 500);
+}
 async function probe() {
   const v = k => document.getElementById(k).value;
   const r = await fetch(`/probe?x=${v('px')}&y=${v('py')}&z=${v('pz')}`);
@@ -276,6 +359,7 @@ async function init() {
       </details>`);
   }
   refresh();
+  animList();
 }
 function meshVec(name, key, span) {
   const vals = [...span.querySelectorAll('input')].map(i => +i.value);
@@ -327,6 +411,10 @@ class ViewerState:
                 self._payload_cache.clear()
         self.lock = threading.Lock()
         self.fps = fps_counter()
+        #: keyframe animation editor state (main_anim.cpp:136-182 AnimKF;
+        #: the browser panel is the ImGui keyframe editor analog)
+        self.keyframes: list = []
+        self.anim_status = {"running": False, "done": 0, "total": 0}
 
     def render(self, w: int, h: int) -> bytes:
         with self.lock:
@@ -511,6 +599,214 @@ class ViewerState:
         _write_png_bytes(buf, img)
         return buf.getvalue()
 
+    # -- keyframe animation editor (main_anim.cpp:350-925 analog) -----------
+
+    def _capture_kf(self, body: dict):
+        """Snapshot camera + options + mesh transforms as an AnimKF
+        (AnimKF capture semantics, main_anim.cpp:136-182)."""
+        from volrend_tpu import anim
+        ms = {m.name: anim.MeshState(
+            rotation=np.asarray(m.rotation, float).copy(),
+            translation=np.asarray(m.translation, float).copy(),
+            scale=float(m.scale), visible=bool(m.visible),
+            unlit=bool(m.unlit)) for m in self.meshes}
+        return anim.AnimKF(
+            center=np.asarray(self.cam.center, float).copy(),
+            v_back=np.asarray(self.cam.v_back, float).copy(),
+            origin=np.asarray(getattr(self.cam, "origin", np.zeros(3)),
+                              float).copy(),
+            fx=float(self.cam.fx), fy=float(self.cam.fy),
+            opt=self.opt,
+            mesh_state=ms,
+            t_max=float(body.get("t_max", 1.0)),
+            spherical_interp=bool(body.get("spherical_interp", True)),
+            loops=int(body.get("loops", 0)))
+
+    def _anim_summary(self) -> dict:
+        total = float(sum(kf.t_max for kf in self.keyframes[1:]))
+        return {
+            "n": len(self.keyframes),
+            "total": total,
+            "export": dict(self.anim_status),
+            "keyframes": [{
+                "center": [float(v) for v in kf.center],
+                "v_back": [float(v) for v in kf.v_back],
+                "fx": float(kf.fx),
+                "t_max": float(kf.t_max),
+                "loops": int(kf.loops),
+                "spherical_interp": bool(kf.spherical_interp),
+            } for kf in self.keyframes],
+        }
+
+    def _apply_state(self, center, v_back, fx, fy, opt, mstate) -> None:
+        """Set viewer state from an (interpolated) keyframe
+        (AnimState::update application, main_anim.cpp:230-335)."""
+        self.cam.update_basis(v_back=np.asarray(v_back, np.float64),
+                              center=np.asarray(center, np.float64))
+        self.cam.fx, self.cam.fy = float(fx), float(fy)
+        self.fixed_focal = True
+        self.opt = opt.replace(max_steps=self.opt.max_steps)
+        for m in self.meshes:
+            if m.name in mstate:
+                s = mstate[m.name]
+                m.rotation = np.asarray(s.rotation, np.float32)
+                m.translation = np.asarray(s.translation, np.float32)
+                m.scale = float(s.scale)
+                m.visible = bool(s.visible)
+                m.unlit = bool(s.unlit)
+
+    def anim_op(self, op: str, body: dict) -> dict:
+        from volrend_tpu import anim
+        if op == "capture":
+            with self.lock:
+                kf = self._capture_kf(body)
+                idx = body.get("index")
+                if idx is None:
+                    self.keyframes.append(kf)
+                    idx = len(self.keyframes) - 1
+                else:
+                    self.keyframes.insert(int(idx), kf)
+                return {"index": int(idx), **self._anim_summary()}
+        if op == "list":
+            with self.lock:
+                return self._anim_summary()
+        if op == "update":
+            with self.lock:
+                i = int(body["index"])
+                kf = self.keyframes[i]
+                if body.get("recapture"):
+                    new = self._capture_kf({})
+                    new.t_max = kf.t_max
+                    new.spherical_interp = kf.spherical_interp
+                    new.loops = kf.loops
+                    self.keyframes[i] = kf = new
+                if "t_max" in body:
+                    kf.t_max = float(body["t_max"])
+                if "loops" in body:
+                    kf.loops = int(body["loops"])
+                if "spherical_interp" in body:
+                    kf.spherical_interp = bool(body["spherical_interp"])
+                return self._anim_summary()
+        if op == "delete":
+            with self.lock:
+                del self.keyframes[int(body["index"])]
+                return self._anim_summary()
+        if op == "goto":
+            with self.lock:
+                kf = self.keyframes[int(body["index"])]
+                self._apply_state(kf.center, kf.v_back, kf.fx, kf.fy,
+                                  kf.opt, kf.mesh_state)
+                return {"ok": True}
+        if op == "seek":
+            return self.anim_seek(float(body.get("t", 0.0)))
+        if op == "save":
+            return self.anim_save(body["path"])
+        if op == "load":
+            kfs, cfg = anim.load_script(body["path"])
+            with self.lock:
+                self.keyframes = kfs
+                if "world_up" in cfg:
+                    self.cam.v_world_up = np.asarray(cfg["world_up"],
+                                                     np.float32)
+                    self.cam.update_basis()
+                return self._anim_summary()
+        if op == "export":
+            return self.anim_export(body)
+        raise ValueError(f"unknown anim op {op!r}")
+
+    def anim_seek(self, t: float) -> dict:
+        """Apply the interpolated animation state at global time t (the
+        preview scrub/playback surface; segment durations are the END
+        keyframe's t_max, like frame_times)."""
+        from volrend_tpu import anim
+        with self.lock:
+            kfs = self.keyframes
+            if len(kfs) < 2:
+                raise ValueError("need >= 2 keyframes")
+            acc = 0.0
+            for i in range(len(kfs) - 1):
+                dur = max(float(kfs[i + 1].t_max), 1e-9)
+                if t <= acc + dur or i == len(kfs) - 2:
+                    q = min(max((t - acc) / dur, 0.0), 1.0)
+                    st = anim.interpolate(kfs[i], kfs[i + 1], q,
+                                          self.cam.v_world_up,
+                                          first_segment=(i == 0))
+                    self._apply_state(*st)
+                    return {"segment": i, "q": float(q)}
+                acc += dur
+        raise AssertionError("unreachable")
+
+    def anim_save(self, path: str) -> dict:
+        """Write the keyframes as a cli/animate-compatible JSON script."""
+        with self.lock:
+            cfg = {
+                "fps": 30,
+                "world_up": [float(v) for v in self.cam.v_world_up],
+                "keyframes": [{
+                    "center": [float(v) for v in kf.center],
+                    "v_back": [float(v) for v in kf.v_back],
+                    "origin": [float(v) for v in kf.origin],
+                    "fx": float(kf.fx), "fy": float(kf.fy),
+                    "t_max": float(kf.t_max),
+                    "spherical_interp": bool(kf.spherical_interp),
+                    "loops": int(kf.loops),
+                    "options": {
+                        k: (list(v) if isinstance(v, tuple) else v)
+                        for k, v in dataclasses.asdict(kf.opt).items()
+                        if isinstance(v, (int, float, bool, tuple))},
+                    "meshes": {
+                        name: {"rotation": [float(v) for v in s.rotation],
+                               "translation": [float(v)
+                                               for v in s.translation],
+                               "scale": float(s.scale),
+                               "visible": bool(s.visible)}
+                        for name, s in kf.mesh_state.items()},
+                } for kf in self.keyframes],
+            }
+        with open(path, "w") as f:
+            json.dump(cfg, f, indent=1)
+        return {"saved": path, "n": len(cfg["keyframes"])}
+
+    def anim_export(self, body: dict) -> dict:
+        """Render every animation frame to PNG files in a directory (the
+        reference's export mode, main_anim.cpp:95-110; runs in a thread so
+        the viewer reports progress via /anim/list)."""
+        import os
+        from volrend_tpu import anim
+        out_dir = body["path"]
+        fps = float(body.get("fps", 30.0))
+        w = int(body.get("width", 800))
+        h = int(body.get("height", 800))
+        with self.lock:
+            if self.anim_status["running"]:
+                raise ValueError("export already running")
+            if len(self.keyframes) < 2:
+                raise ValueError("need >= 2 keyframes")
+            schedule = anim.frame_times(self.keyframes, fps)
+            self.anim_status = {"running": True, "done": 0,
+                                "total": len(schedule)}
+        os.makedirs(out_dir, exist_ok=True)
+
+        def run():
+            try:
+                for f_idx, (seg, q) in enumerate(schedule):
+                    with self.lock:
+                        st = anim.interpolate(
+                            self.keyframes[seg], self.keyframes[seg + 1],
+                            q, self.cam.v_world_up,
+                            first_segment=(seg == 0))
+                        self._apply_state(*st)
+                    png = self.render(w, h)
+                    with open(os.path.join(out_dir,
+                                           f"{f_idx:06d}.png"), "wb") as f:
+                        f.write(png)
+                    self.anim_status["done"] = f_idx + 1
+            finally:
+                self.anim_status["running"] = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return {"started": True, "total": len(schedule), "dir": out_dir}
+
     def info(self) -> dict:
         return {
             "data_dim": self.tree.data_dim,
@@ -582,6 +878,9 @@ def make_handler(state: ViewerState):
                 pt = tuple(float(q.get(k, ["0"])[0]) for k in "xyz")
                 size = int(q.get("size", ["100"])[0])
                 self._send(200, state.probe(pt, size), "image/png")
+            elif u.path == "/anim/list":
+                self._send(200,
+                           json.dumps(state.anim_op("list", {})).encode())
             else:
                 self._send(404, b"{}")
 
@@ -626,6 +925,14 @@ def make_handler(state: ViewerState):
                     out = state.load_asset(body.get("kind", "tree"),
                                            path=body.get("path"))
                 except Exception as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+                    return
+                self._send(200, json.dumps(out).encode())
+                return
+            elif u.path.startswith("/anim/"):
+                try:
+                    out = state.anim_op(u.path[len("/anim/"):], body)
+                except (ValueError, KeyError, IndexError) as e:
                     self._send(400, json.dumps({"error": str(e)}).encode())
                     return
                 self._send(200, json.dumps(out).encode())
