@@ -365,7 +365,7 @@ def _pallas_frame_parts(scene, gi=32):
     zb = jnp.stack([geom.z_lo_pix, geom.z_hi_pix])
     gm = dict(cz=geom.cz, cy=geom.cy, cx=geom.cx, uy=geom.uy, ux=geom.ux,
               z_lo=geom.z_lo_pix, z_hi=geom.z_hi_pix, scale=geom.scale,
-              lo=geom.lo, hi=geom.hi)
+              lo=geom.lo, hi=geom.hi, dirM=geom.dirM)
     return grid, cfg, gm, planar, pperm, params, zb
 
 
@@ -502,3 +502,96 @@ def test_pallas_train_backend_end_to_end(scene, monkeypatch):
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# NDC trees through the training path
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ndc_train_scene():
+    from volrend_tpu.models.n3tree import NdcConfig
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=4, sigma_scale=60.0)
+    tree.use_ndc = True
+    tree.ndc = NdcConfig(width=800.0, height=800.0, focal=1111.0)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    bmap = slab_grad.build_bake_map(dev)
+    data32 = jnp.asarray(dev.data, jnp.float32)
+    cam = Camera.from_vectors(center=(0.0, 0.0, 0.2),
+                              v_back=(0.05, 0.02, 1.0),
+                              v_world_up=(0.0, 1.0, 0.0),
+                              width=24, height=24, fx=26.0)
+    perm, flip, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
+    assert np.isfinite(slope) and perm[0] == 2
+    return dev, grid, bmap, data32, cam, perm, flip
+
+
+def test_ndc_train_render_matches_eval_slab(ndc_train_scene):
+    """Training forward on an NDC tree == the eval slab renderer (NDC
+    geometry + dirM shading + NDC screen warp all flow through)."""
+    dev, grid, bmap, data32, cam, perm, flip = ndc_train_scene
+    opt = RenderOptions(max_steps=512, renormalize=False)
+    ref = np.asarray(slab_render.render_frame(
+        grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+        24, 24, opt, gi=96))
+    out = np.asarray(slab_grad.render_frame_train(
+        data32, bmap, grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
+        perm, flip, 24, 24, opt, gi=96))
+    assert psnr(out[..., :3], ref[..., :3]) > 40.0
+
+
+def test_ndc_custom_vjp_matches_autodiff(ndc_train_scene):
+    dev, grid, bmap, data32, cam, perm, flip = ndc_train_scene
+    opt = RenderOptions(max_steps=512)
+    rng = np.random.default_rng(2)
+    W = jnp.asarray(rng.normal(size=(24, 24, 4)).astype(np.float32))
+
+    def loss(d, custom):
+        out = slab_grad.render_frame_train(
+            d, bmap, grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
+            perm, flip, 24, 24, opt, gi=48, use_custom_vjp=custom)
+        return jnp.sum(out * W)
+
+    l1, g1 = jax.value_and_grad(lambda d: loss(d, True))(data32)
+    l2, g2 = jax.value_and_grad(lambda d: loss(d, False))(data32)
+    assert np.isclose(float(l1), float(l2), rtol=1e-6)
+    g1, g2 = np.asarray(g1), np.asarray(g2)
+    scale = np.abs(g2).max()
+    assert scale > 0
+    np.testing.assert_allclose(g1, g2, atol=2e-5 * scale, rtol=2e-4)
+
+
+def test_ndc_pallas_train_backend(ndc_train_scene, monkeypatch):
+    """The fused Pallas training kernels (fwd+bwd) must match the scan
+    backend on an NDC tree (interpret mode)."""
+    from volrend_tpu.ops import pallas_slab
+    dev, grid, bmap, data32, cam, perm, flip = ndc_train_scene
+    opt = RenderOptions(max_steps=512)
+    rng = np.random.default_rng(3)
+    W = jnp.asarray(rng.normal(size=(24, 24, 4)).astype(np.float32))
+
+    def loss(d, backend):
+        out = slab_grad.render_frame_train(
+            d, bmap, grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
+            perm, flip, 24, 24, opt, gi=48, backend=backend)
+        return jnp.sum(out * W)
+
+    l2, g2 = jax.value_and_grad(lambda d: loss(d, "scan"))(data32)
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        l1, g1 = jax.value_and_grad(lambda d: loss(d, "pallas"))(data32)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    # kernel warps in bf16 (same as the world-space backend test): compare
+    # by relative norm + direction, not elementwise
+    assert np.isclose(float(l1), float(l2), rtol=1e-3)
+    gs = np.asarray(g2, np.float64)
+    gp = np.asarray(g1, np.float64)
+    rel = np.linalg.norm(gp - gs) / (np.linalg.norm(gs) + 1e-30)
+    cos = float((gs * gp).sum()
+                / (np.linalg.norm(gs) * np.linalg.norm(gp) + 1e-30))
+    assert rel < 8e-2 and cos > 0.995, (rel, cos)

@@ -310,15 +310,14 @@ def _slab_pixels(cfg: SlabCfg, slab, extra, gm, zi):
     if bd < 0:
         rgb = slab[..., :3]
     else:
-        sgn = _F32(-1.0 if cfg.flip else 1.0)
-        inv = np.argsort(perm)
+        # per-frame affine slope->world-dir map (FrameGeom.dirM; covers
+        # world-space and NDC trees)
+        dirM = gm["dirM"]
         uvox = (vox - cy) / s
         vvox = (vox - cx) / s
-        dvox = jnp.stack([
-            jnp.broadcast_to(sgn, (G, G)),
-            sgn * uvox[:, None] * jnp.ones((1, G), _F32),
-            sgn * jnp.ones((G, 1), _F32) * vvox[None, :],
-        ], -1)[..., inv] / scale
+        dvox = (dirM[:, 0][None, None]
+                + uvox[:, None, None] * dirM[:, 1][None, None]
+                + vvox[None, :, None] * dirM[:, 2][None, None])
         dvox = dvox / jnp.linalg.norm(dvox, axis=-1, keepdims=True)
         rot = render_jax._rodrigues_matrix(opt.rot_dirs)
         if rot is not None:
@@ -607,7 +606,8 @@ def render_frame_train(data, bmap: BakeMap, grid: DenseGrid, transform,
         gm = dict(cz=geom.cz, cy=geom.cy, cx=geom.cx,
                   uy=geom.uy, ux=geom.ux,
                   z_lo=geom.z_lo_pix, z_hi=geom.z_hi_pix,
-                  scale=geom.scale, lo=geom.lo, hi=geom.hi)
+                  scale=geom.scale, lo=geom.lo, hi=geom.hi,
+                  dirM=geom.dirM)
         gm = {k: lax.stop_gradient(v) for k, v in gm.items()}
         march = _march_diff if use_custom_vjp else _march_fwd_impl
         acc, T = march(cfg, pperm, lax.stop_gradient(grid.extra), gm)
@@ -615,7 +615,8 @@ def render_frame_train(data, bmap: BakeMap, grid: DenseGrid, transform,
     inter = jnp.concatenate([acc, (1.0 - T)[..., None]], -1)
     return slab_render._warp_to_screen(
         inter, opt, geom.R, geom.fx, geom.fy, width, height, gi, perm,
-        geom.u0, geom.du, geom.v0, geom.dv, geom.scale, precise=True)
+        geom.u0, geom.du, geom.v0, geom.dv, geom.scale, precise=True,
+        ndc=grid.ndc, origin=lax.stop_gradient(geom.origin_w))
 
 
 def loss_and_grad_frame(data, bmap: BakeMap, grid: DenseGrid, transform,
