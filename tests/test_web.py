@@ -360,3 +360,52 @@ def test_viewer_page_has_anim_ui(server):
     html = _get(base + "/").decode()
     for frag in ("animCapture", "animPlay", "animExport", "/anim/seek"):
         assert frag in html
+
+
+def test_anim_unlit_roundtrips_through_script(server, tmp_path):
+    """Mesh unlit state survives capture -> save -> load (review finding:
+    it was captured and applied but dropped by the script writer/reader)."""
+    from volrend_tpu import anim
+    base, state = server
+    state.keyframes = []
+    state.meshes[0].unlit = True
+    _post(base + "/anim/capture", {})
+    _post(base + "/anim/capture", {})
+    p = tmp_path / "unlit.json"
+    _post(base + "/anim/save", {"path": str(p)})
+    kfs, _ = anim.load_script(str(p))
+    assert kfs[0].mesh_state["Cube"].unlit is True
+    state.meshes[0].unlit = False
+    state.keyframes = []
+
+
+def test_anim_export_bad_path_does_not_wedge(server, tmp_path):
+    """A failing export request must not leave anim_status running=True
+    (review finding: makedirs after the status commit wedged the feature)."""
+    import urllib.error
+    base, state = server
+    state.keyframes = []
+    _post(base + "/anim/capture", {})
+    _post(base + "/anim/capture", {})
+    blocker = tmp_path / "afile"
+    blocker.write_text("x")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/anim/export", {"path": str(blocker)})
+    assert ei.value.code == 400
+    assert not state.anim_status["running"]
+    # feature still usable afterwards
+    out_dir = tmp_path / "ok"
+    out = json.loads(_post(base + "/anim/export", {
+        "path": str(out_dir), "fps": 2, "width": 16, "height": 16}))
+    assert out["started"]
+    import time
+    for _ in range(300):
+        if not state.anim_status["running"]:
+            break
+        time.sleep(0.1)
+    assert state.anim_status["done"] == out["total"]
+    # load of a missing script returns 400, not a closed connection
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/anim/load", {"path": str(tmp_path / "nope.json")})
+    assert ei.value.code == 400
+    state.keyframes = []

@@ -198,6 +198,7 @@ def load_script(path: str) -> Tuple[List[AnimKF], dict]:
                                        float),
                 scale=float(m.get("scale", 1.0)),
                 visible=bool(m.get("visible", True)),
+                unlit=bool(m.get("unlit", False)),
             ) for name, m in k.get("meshes", {}).items()}
         kfs.append(AnimKF(
             center=np.asarray(k["center"], float),

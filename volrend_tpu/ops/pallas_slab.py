@@ -656,7 +656,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
         (Dp = D, sigma in plane D-1), or int8 codes (Dp = D+1, colors +
         14-bit fixed-point sigma split over the last two planes; sig2=True)
         dequantized in-kernel by the per-channel ``qscale``.
-    params: (20,) f32 (see _pack_params). qscale: (Dp,) f32.
+    params: (30,) f32 (see _pack_params; [20:29] = dirM affine slope->dir
+        map, [29] = depth-mode t origin). qscale: (Dp,) f32.
     zbounds: (2, gi, gi) f32 per-pixel live z interval.
     slab_ids: static tuple of slab z-indices in march order (front to back
         along the ray), pre-culled of empty slabs by the caller; None means

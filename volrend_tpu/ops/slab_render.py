@@ -457,7 +457,6 @@ class FrameGeom:
         self.ux = ux = v0 + dv * jnp.arange(gi, dtype=_F32)
 
         self.sgn = _F32(-1.0 if flip else 1.0)
-        self.inv = np.argsort(perm)
 
         # ---- shading-direction affine map ---------------------------------
         # the world view direction at a voxel is an affine function of the

@@ -211,12 +211,12 @@ async function animList() {
          return false">kf${i}</a>
        t<input type="number" value="${kf.t_max}" step="0.25" min="0.05"
         style="width:44px" onchange="post('/anim/update',
-         {index:${i}, t_max:+this.value}); animList()">
+         {index:${i}, t_max:+this.value}).then(animList)">
        loops<input type="number" value="${kf.loops}" step="1"
         style="width:34px" onchange="post('/anim/update',
          {index:${i}, loops:+this.value})">
-       <button onclick="post('/anim/delete',{index:${i}});
-        setTimeout(animList,100)">x</button></div>`);
+       <button onclick="post('/anim/delete',{index:${i}})
+        .then(animList)">x</button></div>`);
   });
   if (a.export.running)
     document.getElementById('animstat').textContent =
@@ -418,27 +418,33 @@ class ViewerState:
 
     def render(self, w: int, h: int) -> bytes:
         with self.lock:
-            self.cam.width, self.cam.height = w, h
-            if not self.fixed_focal:
-                self.cam.fx = self.cam.fy = 0.55 * max(w, h) / np.tan(0.35)
-            any_mesh = any(m.visible for m in self.meshes) or \
-                self.opt.show_grid
-            img = None
-            if self.grid is not None and not any_mesh:
-                from volrend_tpu.ops import slab_render
-                if slab_render.compatible(self.grid, self.cam.transform,
-                                          self.cam.fx, self.cam.fy, w, h):
-                    img = slab_render.render_image(
-                        self.grid, self.cam, self.opt, gi=512,
-                        payload_cache=self._payload_cache)
-            if img is None:
-                from volrend_tpu.ops import composite
-                img = composite.render_frame_with_meshes(
-                    self.dev, self.cam, self.opt, self.meshes,
-                    host_tree=self.tree)
-            buf = io.BytesIO()
-            _write_png_bytes(buf, img)
-            return buf.getvalue()
+            return self._render_locked(w, h)
+
+    def _render_locked(self, w: int, h: int) -> bytes:
+        """Render the current state; caller must hold self.lock (the export
+        thread applies a keyframe state and renders under ONE lock scope so
+        concurrent viewer input cannot corrupt exported frames)."""
+        self.cam.width, self.cam.height = w, h
+        if not self.fixed_focal:
+            self.cam.fx = self.cam.fy = 0.55 * max(w, h) / np.tan(0.35)
+        any_mesh = any(m.visible for m in self.meshes) or \
+            self.opt.show_grid
+        img = None
+        if self.grid is not None and not any_mesh:
+            from volrend_tpu.ops import slab_render
+            if slab_render.compatible(self.grid, self.cam.transform,
+                                      self.cam.fx, self.cam.fy, w, h):
+                img = slab_render.render_image(
+                    self.grid, self.cam, self.opt, gi=512,
+                    payload_cache=self._payload_cache)
+        if img is None:
+            from volrend_tpu.ops import composite
+            img = composite.render_frame_with_meshes(
+                self.dev, self.cam, self.opt, self.meshes,
+                host_tree=self.tree)
+        buf = io.BytesIO()
+        _write_png_bytes(buf, img)
+        return buf.getvalue()
 
     def handle_event(self, ev: dict) -> None:
         with self.lock:
@@ -759,7 +765,8 @@ class ViewerState:
                                "translation": [float(v)
                                                for v in s.translation],
                                "scale": float(s.scale),
-                               "visible": bool(s.visible)}
+                               "visible": bool(s.visible),
+                               "unlit": bool(s.unlit)}
                         for name, s in kf.mesh_state.items()},
                 } for kf in self.keyframes],
             }
@@ -777,30 +784,38 @@ class ViewerState:
         fps = float(body.get("fps", 30.0))
         w = int(body.get("width", 800))
         h = int(body.get("height", 800))
+        try:
+            os.makedirs(out_dir, exist_ok=True)
+        except OSError as e:
+            raise ValueError(f"cannot create {out_dir!r}: {e}")
         with self.lock:
             if self.anim_status["running"]:
                 raise ValueError("export already running")
             if len(self.keyframes) < 2:
                 raise ValueError("need >= 2 keyframes")
-            schedule = anim.frame_times(self.keyframes, fps)
+            # snapshot so concurrent keyframe edits can't break the export
+            kfs = list(self.keyframes)
+            schedule = anim.frame_times(kfs, fps)
             self.anim_status = {"running": True, "done": 0,
                                 "total": len(schedule)}
-        os.makedirs(out_dir, exist_ok=True)
 
         def run():
             try:
                 for f_idx, (seg, q) in enumerate(schedule):
+                    # apply + render under ONE lock scope: concurrent
+                    # viewer input between them would corrupt the frame
                     with self.lock:
                         st = anim.interpolate(
-                            self.keyframes[seg], self.keyframes[seg + 1],
-                            q, self.cam.v_world_up,
-                            first_segment=(seg == 0))
+                            kfs[seg], kfs[seg + 1], q,
+                            self.cam.v_world_up, first_segment=(seg == 0))
                         self._apply_state(*st)
-                    png = self.render(w, h)
+                        png = self._render_locked(w, h)
                     with open(os.path.join(out_dir,
                                            f"{f_idx:06d}.png"), "wb") as f:
                         f.write(png)
                     self.anim_status["done"] = f_idx + 1
+            except Exception as e:      # surfaced via /anim/list
+                self.anim_status["error"] = str(e)
             finally:
                 self.anim_status["running"] = False
 
@@ -932,7 +947,7 @@ def make_handler(state: ViewerState):
             elif u.path.startswith("/anim/"):
                 try:
                     out = state.anim_op(u.path[len("/anim/"):], body)
-                except (ValueError, KeyError, IndexError) as e:
+                except (ValueError, KeyError, IndexError, OSError) as e:
                     self._send(400, json.dumps({"error": str(e)}).encode())
                     return
                 self._send(200, json.dumps(out).encode())
