@@ -595,3 +595,23 @@ def test_ndc_pallas_train_backend(ndc_train_scene, monkeypatch):
     cos = float((gs * gp).sum()
                 / (np.linalg.norm(gs) * np.linalg.norm(gp) + 1e-30))
     assert rel < 8e-2 and cos > 0.995, (rel, cos)
+
+
+def test_ndc_frame_trainer_descends(ndc_train_scene):
+    """End-to-end FrameTrainer on an NDC scene (the full chain: NDC-aware
+    choose_axis gate, pyramid bake, dirM shading, NDC screen warp)."""
+    import dataclasses
+    from volrend_tpu.train import FrameTrainer
+    dev, grid, bmap, data32, cam, perm, flip = ndc_train_scene
+    opt = RenderOptions(max_steps=512, renormalize=False)
+    target = np.asarray(render_jax.render_image(dev, cam, opt))
+
+    rng = np.random.default_rng(1)
+    noisy = dataclasses.replace(
+        dev, data=jnp.asarray(np.asarray(dev.data, np.float32)
+                              + rng.normal(0, 0.3, dev.data.shape)
+                              .astype(np.float32), jnp.float16))
+    tr = FrameTrainer(noisy, opt, lr=5e-2, gi=96)
+    assert tr.grid.ndc == grid.ndc
+    losses = [tr.step_frame(cam, target) for _ in range(20)]
+    assert losses[-1] < 0.5 * losses[0], losses
