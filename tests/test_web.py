@@ -409,3 +409,66 @@ def test_anim_export_bad_path_does_not_wedge(server, tmp_path):
         _post(base + "/anim/load", {"path": str(tmp_path / "nope.json")})
     assert ei.value.code == 400
     state.keyframes = []
+
+
+def test_mesh_gizmo_projection_and_drag(server):
+    """In-viewport gizmo (ImGuizmo analog): /gizmo projects the mesh center
+    through the live camera; /mesh/drag maps pixel deltas to transforms."""
+    base, state = server
+    m = next(mm for mm in state.meshes if mm.name == "Cube")
+    m.translation = np.zeros(3, np.float32)
+    m.rotation = np.zeros(3, np.float32)
+    m.scale = 1.0
+
+    g = json.loads(_get(base + "/gizmo?name=Cube"))
+    assert g["visible"]
+    cx, cy = g["center"]
+    # projected center must re-project consistently: move the mesh exactly
+    # +right in world via a drag, screen x must increase
+    out = json.loads(_post(base + "/mesh/drag",
+                           {"name": "Cube", "mode": "translate",
+                            "dx": 40.0, "dy": 0.0}))
+    g2 = json.loads(_get(base + "/gizmo?name=Cube"))
+    assert g2["center"][0] > cx + 20  # moved ~40 px right
+    assert abs(g2["center"][1] - cy) < 2
+
+    # vertical drag translates along -v_up
+    before = np.asarray(out["translation"])
+    out = json.loads(_post(base + "/mesh/drag",
+                           {"name": "Cube", "mode": "translate",
+                            "dx": 0.0, "dy": 30.0}))
+    moved = np.asarray(out["translation"]) - before
+    up = np.asarray(state.cam.v_up, np.float64)
+    assert moved @ up < 0
+
+    # rotate about the view axis changes the rotation vector
+    out = json.loads(_post(base + "/mesh/drag",
+                           {"name": "Cube", "mode": "rotate",
+                            "dx": 50.0, "dy": 0.0}))
+    rv = np.asarray(out["rotation"], np.float64)
+    assert np.linalg.norm(rv) == pytest.approx(0.5, rel=1e-3)
+    view = -np.asarray(state.cam.v_back, np.float64)
+    assert abs(abs(rv / np.linalg.norm(rv) @ view) - 1.0) < 1e-6
+
+    # scale: drag up grows, exp-compounded
+    out = json.loads(_post(base + "/mesh/drag",
+                           {"name": "Cube", "mode": "scale",
+                            "dx": 0.0, "dy": -69.3}))
+    assert out["scale"] == pytest.approx(2.0, rel=1e-2)
+
+    # unknown mesh -> 404/400
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        _get(base + "/gizmo?name=Nope")
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base + "/mesh/drag", {"name": "Nope", "mode": "translate"})
+    m.translation = np.zeros(3, np.float32)
+    m.rotation = np.zeros(3, np.float32)
+    m.scale = 1.0
+
+
+def test_viewer_page_has_gizmo_ui(server):
+    base, _ = server
+    html = _get(base + "/").decode()
+    for frag in ("drawGizmo", "/mesh/drag", "grab", "gizmo.mode"):
+        assert frag in html

@@ -121,6 +121,28 @@ label { user-select:none }
 <script>
 const canvas = document.getElementById('c');
 let busy = false, dirty = true;
+// in-viewport mesh gizmo (ImGuizmo analog): pick a layer's "grab" toggle,
+// then drag in the canvas; g/r/s switch translate/rotate/scale
+const gizmo = {name: null, mode: 'translate'};
+async function drawGizmo(ctx) {
+  if (!gizmo.name) return;
+  const g = await (await fetch(
+    `/gizmo?name=${encodeURIComponent(gizmo.name)}`)).json();
+  if (!g.visible) return;
+  const [ox, oy] = g.center;
+  const cols = ['#f55', '#5f5', '#59f'];
+  ctx.lineWidth = 2;
+  g.axes.forEach((a, i) => {
+    if (!a) return;
+    ctx.strokeStyle = cols[i];
+    ctx.beginPath(); ctx.moveTo(ox, oy);
+    ctx.lineTo(ox + a[0], oy + a[1]); ctx.stroke();
+  });
+  ctx.strokeStyle = '#fff';
+  ctx.beginPath(); ctx.arc(ox, oy, 6, 0, 2 * Math.PI); ctx.stroke();
+  ctx.fillStyle = '#fff'; ctx.font = '11px sans-serif';
+  ctx.fillText(`${gizmo.name} [${gizmo.mode}]`, ox + 8, oy - 8);
+}
 async function refresh() {
   if (busy) { dirty = true; return; }
   busy = true; dirty = false;
@@ -128,7 +150,9 @@ async function refresh() {
   const r = await fetch(`/frame?w=${canvas.width}&h=${canvas.height}`);
   const blob = await r.blob();
   const img = await createImageBitmap(blob);
-  canvas.getContext('2d').drawImage(img, 0, 0);
+  const ctx = canvas.getContext('2d');
+  ctx.drawImage(img, 0, 0);
+  await drawGizmo(ctx);
   const dt = performance.now() - t0;
   document.getElementById('fps').textContent = (1000/dt).toFixed(1) + ' fps';
   busy = false;
@@ -138,19 +162,30 @@ async function post(path, body) {
   await fetch(path, {method:'POST', body: JSON.stringify(body)});
   refresh();
 }
-let dragging = false;
+let dragging = false, lastXY = null;
 canvas.addEventListener('mousedown', e => {
   dragging = true;
+  if (gizmo.name) { lastXY = [e.offsetX, e.offsetY]; return; }
   post('/event', {type:'down', x:e.offsetX, y:e.offsetY,
                   pan: e.shiftKey || e.button !== 0, about_origin: true});
 });
 window.addEventListener('mousemove', e => {
   if (!dragging) return;
   const r = canvas.getBoundingClientRect();
-  post('/event', {type:'move', x:e.clientX-r.left, y:e.clientY-r.top});
+  const x = e.clientX - r.left, y = e.clientY - r.top;
+  if (gizmo.name) {
+    if (lastXY) post('/mesh/drag', {name: gizmo.name, mode: gizmo.mode,
+                                    dx: x - lastXY[0], dy: y - lastXY[1]});
+    lastXY = [x, y];
+    return;
+  }
+  post('/event', {type:'move', x, y});
 });
 window.addEventListener('mouseup', () => {
-  if (dragging) { dragging = false; post('/event', {type:'up'}); }
+  if (dragging) {
+    dragging = false; lastXY = null;
+    if (!gizmo.name) post('/event', {type:'up'});
+  }
 });
 canvas.addEventListener('contextmenu', e => e.preventDefault());
 canvas.addEventListener('wheel', e => {
@@ -160,6 +195,12 @@ canvas.addEventListener('wheel', e => {
 window.addEventListener('keydown', e => {
   if (e.target.tagName === 'INPUT') return;
   const k = e.key.toLowerCase();
+  if (gizmo.name) {           // gizmo mode keys (Blender-style g/r/s)
+    if (k === 'g') { gizmo.mode = 'translate'; refresh(); return; }
+    if (k === 'r') { gizmo.mode = 'rotate'; refresh(); return; }
+    if (k === 's') { gizmo.mode = 'scale'; refresh(); return; }
+    if (e.key === 'Escape') { gizmo.name = null; refresh(); return; }
+  }
   if ('wasdqeijkluo-=0123456'.includes(k) && k.length === 1)
     post('/event', {type:'key', key:k, shift: e.shiftKey});
 });
@@ -339,7 +380,10 @@ async function init() {
         <input type="checkbox" ${m.visible ? 'checked' : ''}
          onclick="event.stopPropagation()"
          onchange="post('/mesh', {name:'${m.name}',
-                   visible:this.checked})"></summary>
+                   visible:this.checked})">
+        <button onclick="event.stopPropagation();
+         gizmo.name = gizmo.name === '${m.name}' ? null : '${m.name}';
+         refresh()">grab</button></summary>
        <div class="row"><label>trans</label>
         <span data-k="translation">${v3('translation', m.translation,
                                         0.05)}</span></div>
@@ -379,6 +423,40 @@ async function uploadAsset(kind, input) {
 init();
 </script></body></html>
 """
+
+
+def _rotvec_to_mat(v):
+    v = np.asarray(v, np.float64)
+    ang = float(np.linalg.norm(v))
+    if ang < 1e-12:
+        return np.eye(3)
+    k = v / ang
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) * np.cos(ang) + np.sin(ang) * K \
+        + (1 - np.cos(ang)) * np.outer(k, k)
+
+
+def _mat_to_rotvec(R):
+    cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    ang = float(np.arccos(cos))
+    if ang < 1e-12:
+        return np.zeros(3)
+    if ang > np.pi - 1e-6:
+        # near-pi: axis from the symmetric part
+        A = (R + np.eye(3)) / 2.0
+        axis = np.sqrt(np.clip(np.diag(A), 0.0, None))
+        axis *= np.sign([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]]) + (axis == 0)
+        n = np.linalg.norm(axis)
+        return axis / (n if n else 1.0) * ang
+    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                     R[1, 0] - R[0, 1]]) / (2.0 * np.sin(ang))
+    return axis * ang
+
+
+def _compose_rotvec(base, delta):
+    """rotvec of R(delta) @ R(base) (world-space delta applied on top)."""
+    return _mat_to_rotvec(_rotvec_to_mat(delta) @ _rotvec_to_mat(base))
 
 
 class ViewerState:
@@ -554,6 +632,81 @@ class ViewerState:
             m.name = name
             self.meshes.append(m)
             return name
+
+    def mesh_gizmo(self, name: str) -> dict:
+        """Screen-space gizmo info for a mesh: its projected center + the
+        projected world-axis directions (the ImGuizmo drawing surface,
+        main.cpp:238-413 — the browser draws the handles, the server does
+        the projection with the live camera)."""
+        with self.lock:
+            m = next((mm for mm in self.meshes if mm.name == name), None)
+            if m is None:
+                raise KeyError(f"no mesh {name!r}")
+            R = np.asarray(self.cam.transform[:, :3], np.float64)
+            c = np.asarray(self.cam.center, np.float64)
+            w, h = self.cam.width, self.cam.height
+            fx, fy = float(self.cam.fx), float(self.cam.fy)
+
+            def project(p):
+                q = R.T @ (np.asarray(p, np.float64) - c)
+                if q[2] >= -1e-9:           # behind the camera
+                    return None
+                return [0.5 * w + fx * q[0] / (-q[2]),
+                        0.5 * h - fy * q[1] / (-q[2])]
+
+            center = np.asarray(m.translation, np.float64)
+            o = project(center)
+            axes = []
+            if o is not None:
+                alen = 0.25 * max(float(m.scale), 1e-3)
+                for k in range(3):
+                    e = np.zeros(3)
+                    e[k] = alen
+                    p = project(center + e)
+                    axes.append(None if p is None
+                                else [p[0] - o[0], p[1] - o[1]])
+            return {"name": name, "center": o, "axes": axes,
+                    "visible": o is not None}
+
+    def mesh_drag(self, body: dict) -> dict:
+        """Apply a screen-space drag to a mesh transform (gizmo semantics:
+        translate in the camera plane, rotate about the view axis, scale
+        by vertical drag). dx/dy in canvas pixels."""
+        name = body.get("name")
+        mode = body.get("mode", "translate")
+        dx = float(body.get("dx", 0.0))
+        dy = float(body.get("dy", 0.0))
+        with self.lock:
+            m = next((mm for mm in self.meshes if mm.name == name), None)
+            if m is None:
+                raise KeyError(f"no mesh {name!r}")
+            if mode == "translate":
+                # pixel delta -> world delta at the mesh's depth
+                R = np.asarray(self.cam.transform[:, :3], np.float64)
+                c = np.asarray(self.cam.center, np.float64)
+                q = R.T @ (np.asarray(m.translation, np.float64) - c)
+                depth = max(-q[2], 1e-3)
+                dw = (R[:, 0] * (dx * depth / float(self.cam.fx))
+                      - R[:, 1] * (dy * depth / float(self.cam.fy)))
+                m.translation = (np.asarray(m.translation, np.float64)
+                                 + dw).astype(np.float32)
+            elif mode == "rotate":
+                # rotate about the camera view axis (axis-angle composed
+                # onto the mesh's rotation vector)
+                axis = -np.asarray(self.cam.transform[:, 2], np.float64)
+                ang = dx * 0.01
+                m.rotation = _compose_rotvec(
+                    np.asarray(m.rotation, np.float64), axis * ang
+                ).astype(np.float32)
+            elif mode == "scale":
+                m.scale = float(np.clip(
+                    float(m.scale) * np.exp(-dy * 0.01), 1e-4, 1e4))
+            else:
+                raise ValueError(f"unknown drag mode {mode!r}")
+            return {"name": name,
+                    "translation": [float(v) for v in m.translation],
+                    "rotation": [float(v) for v in m.rotation],
+                    "scale": float(m.scale)}
 
     # -- runtime asset loading (web/main_web.cpp:139-294 analog) ------------
 
@@ -896,6 +1049,14 @@ def make_handler(state: ViewerState):
             elif u.path == "/anim/list":
                 self._send(200,
                            json.dumps(state.anim_op("list", {})).encode())
+            elif u.path == "/gizmo":
+                q = parse_qs(u.query)
+                try:
+                    out = state.mesh_gizmo(q.get("name", [""])[0])
+                except KeyError as e:
+                    self._send(404, json.dumps({"error": str(e)}).encode())
+                    return
+                self._send(200, json.dumps(out).encode())
             else:
                 self._send(404, b"{}")
 
@@ -927,6 +1088,14 @@ def make_handler(state: ViewerState):
                 if not state.update_mesh(body):
                     self._send(404, b'{"error": "no such mesh"}')
                     return
+            elif u.path == "/mesh/drag":
+                try:
+                    out = state.mesh_drag(body)
+                except (ValueError, KeyError) as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+                    return
+                self._send(200, json.dumps(out).encode())
+                return
             elif u.path == "/mesh/add":
                 try:
                     name = state.add_mesh(body)
