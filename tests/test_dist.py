@@ -162,3 +162,72 @@ def test_multi_scene_sharded_multiple_per_group(setup):
     with pytest.raises(ValueError, match="ray batches"):
         dist.render_scenes_sharded(
             dist.stack_trees(trees[:2]), oo, dd, opt, mesh)
+
+
+def test_slab_zsharded_matches_single(monkeypatch):
+    """T3 CP/TP mode: the z-sharded slab march (payload split across the
+    mesh, per-device fused-kernel segments, associative (C,T) combine)
+    must reproduce the single-device slab render under the same segment
+    semantics (stop_thresh=0, no renorm)."""
+    from volrend_tpu.ops import dense_grid, pallas_slab, slab_render
+
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                          sigma_scale=60.0)
+    grid = dense_grid.bake_dense(tree.to_device(lut_depth=None))
+    cam = Camera.from_vectors(center=(2.4, 0.5, 0.7),
+                              v_back=(0.92, 0.2, 0.27),
+                              width=32, height=32, fx=40.0)
+    opt = RenderOptions(max_steps=512)
+    seg_opt = opt.replace(stop_thresh=0.0, renormalize=False)
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        perm, flip, _ = slab_render.choose_axis(
+            grid, cam.transform, cam.fx, cam.fy, 32, 32)
+        single = np.asarray(slab_render.render_frame(
+            grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+            32, 32, seg_opt, gi=96))
+        for n_dev in (2, 8):
+            mesh = dist.make_mesh(jax.devices()[:n_dev], axis_name="z")
+            out = np.asarray(dist.render_frame_slab_zsharded(
+                grid, cam.transform, cam.fx, cam.fy, 32, 32, opt, mesh,
+                gi=96))
+            np.testing.assert_allclose(out, single, atol=3e-3), n_dev
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+
+
+def test_slab_zsharded_forward_direction(monkeypatch):
+    """Non-flip march (toward +axis): device segments combine in ascending
+    order (the first test's pose marches toward -axis = flip, so the two
+    cover both combine orders)."""
+    from volrend_tpu.ops import dense_grid, pallas_slab, slab_render
+
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                          sigma_scale=60.0)
+    grid = dense_grid.bake_dense(tree.to_device(lut_depth=None))
+    cam = Camera.from_vectors(center=(-2.4, 0.4, 0.6),
+                              v_back=(-0.93, 0.15, 0.25),
+                              width=32, height=32, fx=40.0)
+    opt = RenderOptions(max_steps=512)
+    seg_opt = opt.replace(stop_thresh=0.0, renormalize=False)
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        perm, flip, _ = slab_render.choose_axis(
+            grid, cam.transform, cam.fx, cam.fy, 32, 32)
+        assert not flip
+        single = np.asarray(slab_render.render_frame(
+            grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+            32, 32, seg_opt, gi=96))
+        mesh = dist.make_mesh(jax.devices()[:4], axis_name="z")
+        out = np.asarray(dist.render_frame_slab_zsharded(
+            grid, cam.transform, cam.fx, cam.fy, 32, 32, opt, mesh,
+            gi=96))
+        np.testing.assert_allclose(out, single, atol=3e-3)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()

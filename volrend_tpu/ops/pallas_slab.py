@@ -141,8 +141,10 @@ def _sh_planes(bd: int, x, y, z):
         yield 24, C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy))
 
 
-# params vector layout (f32): see _pack_params
-_NP = 30
+# params vector layout (f32): see _pack_params (+1 slot appended by
+# march_slabs: [30] = z_base, the global z of the payload's first slab —
+# nonzero only for z-sharded partial payloads)
+_NP = 31
 
 
 def _warp_half(shape, cell_on_rows: bool, r0, dr, G: int):
@@ -216,14 +218,16 @@ def _overlap_mats(pre, s0, s1):
     return m_r, m_c
 
 
-def _window_live(T_plane, zb_ref, stop_thresh, wid, K: int, G: int):
+def _window_live(T_plane, zb_ref, stop_thresh, wid, K: int, G: int,
+                 z_off=0.0):
     """Per-window liveness: some ray still has transmittance AND its
     [zlo, zhi] interval intersects the window's z range. A dead verdict
     implies the per-slab composite mask is false for every pixel, so
     skipping the window's shade/warp/composite (or zero-filling its grad
-    block) is exact."""
-    zw0 = ((wid * K).astype(_F32) + 0.5) / G
-    zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G
+    block) is exact. z_off: global z of the payload's first slab (nonzero
+    for z-sharded partial payloads)."""
+    zw0 = ((wid * K).astype(_F32) + 0.5) / G + z_off
+    zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G + z_off
     return jnp.any((T_plane >= stop_thresh)
                    & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
 
@@ -339,7 +343,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             # only — the kernel reads dirs from the affine map p[20:29]
             sigma_thresh, stop_thresh = p[14], p[15]
 
-            z = (sid.astype(_F32) + 0.5) / G
+            z = (sid.astype(_F32) + 0.5) / G + p[30]
             s = z - cz
             s0 = z - 0.5 / G - cz                       # slab entry/exit
             s1 = z + 0.5 / G - cz
@@ -471,7 +475,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             # costs nothing extra). Fully-empty windows (zero-mask gap
             # padding in static sparse runs) skip the plane build too.
             live = _window_live(acc_ref[3], zb_ref, params_ref[15], wid,
-                                K, G) & (wmask != 0)
+                                K, G, z_off=params_ref[30]) & (wmask != 0)
 
             @pl.when(live)
             def _live_window():
@@ -649,7 +653,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 extra=None, fmt: int = 1, depth: bool = False,
                 rot: Optional[Tuple[float, ...]] = None,
                 flip: bool = False, k_per_step: int = 4,
-                bbox_full: bool = False, shade_bf16: bool = False):
+                bbox_full: bool = False, shade_bf16: bool = False,
+                z_base=None, acc_init=None):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
     gplanar: (G, Dp, G, G) channel-planar permuted grid — bf16 payload
@@ -666,19 +671,31 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     k_per_step: slabs fetched + marched per grid step (K-aligned windows);
         amortizes per-step overhead and lets Mosaic keep the accumulator
         chain fused across K composite updates.
+    z_base: traced scalar — global z of the payload's first slab (the
+        payload may be a z-SHARD of the full grid: gplanar.shape[0] < G;
+        slab_ids then index the local shard). None = 0 (whole grid).
+    acc_init: optional (4, gi, gi) initial [rgb, T] accumulator (resume a
+        march from an upstream segment's state).
     """
     Dp = gplanar.shape[1]
+    Gz = gplanar.shape[0]           # local slab count (== G unless sharded)
     if slab_ids is None:
-        slab_ids = tuple(range(G))
+        slab_ids = tuple(range(Gz))
     if extra is None or np.prod(np.shape(extra)) == 0:
         extra = jnp.zeros((1,), _F32)
     extra = jnp.asarray(extra, _F32).reshape(-1)
-    K = max(1, min(k_per_step, G))
-    while G % K:
+    K = max(1, min(k_per_step, Gz))
+    while Gz % K:
         K -= 1
+    if z_base is None:
+        z_base = jnp.asarray(0.0, _F32)
+    z_base = jnp.asarray(z_base, _F32)
+    params = jnp.concatenate([jnp.asarray(params, _F32)[:30],
+                              z_base.reshape(1)])
 
-    acc0 = jnp.concatenate([
+    acc0 = (jnp.concatenate([
         jnp.zeros((3, gi, gi), _F32), jnp.ones((1, gi, gi), _F32)])
+        if acc_init is None else jnp.asarray(acc_init, _F32))
     if not slab_ids:
         return acc0
 
@@ -760,7 +777,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                     a, G, gi, Dp, K, base, step)
 
             acc = lax.cond(
-                live(acc[3], float(zvals.min()), float(zvals.max())),
+                live(acc[3], float(zvals.min()) + z_base,
+                     float(zvals.max()) + z_base),
                 call, lambda a: a, acc)
         return acc
 
@@ -797,13 +815,13 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     def cond(carry):
         c, acc = carry
         in_range = c < n_chunks
-        zmin = rem_zmin_d[jnp.minimum(c, n_chunks - 1)]
-        zmax = rem_zmax_d[jnp.minimum(c, n_chunks - 1)]
+        zmin = rem_zmin_d[jnp.minimum(c, n_chunks - 1)] + z_base
+        zmax = rem_zmax_d[jnp.minimum(c, n_chunks - 1)] + z_base
         return in_range & live(acc[3], zmin, zmax)
 
     def body(carry):
         c, acc = carry
-        hit = live(acc[3], czmin_d[c], czmax_d[c])
+        hit = live(acc[3], czmin_d[c] + z_base, czmax_d[c] + z_base)
         acc = lax.cond(
             hit,
             lambda a: _chunk_call(kernel, ids_dev[c], params, qscale,
@@ -865,7 +883,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             # only — the kernel reads dirs from the affine map p[20:29]
             sigma_thresh, stop_thresh = p[14], p[15]
 
-            z = (sid.astype(_F32) + 0.5) / G
+            z = (sid.astype(_F32) + 0.5) / G + p[30]
             s = z - cz
             s0 = z - 0.5 / G - cz
             s1 = z + 0.5 / G - cz
@@ -1013,7 +1031,8 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
         # interval, every gradient term is masked to zero (w = 0,
         # m = False) — zero-fill the window's grad block and skip its
         # ~(4 + 3bd)-plane adjoint
-        live = _window_live(state_ref[0], zb_ref, params_ref[15], wid, K, G)
+        live = _window_live(state_ref[0], zb_ref, params_ref[15], wid, K, G,
+                            z_off=params_ref[30])
 
         @pl.when(live)
         def _live_window():
@@ -1061,6 +1080,9 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
     if extra is None or np.prod(np.shape(extra)) == 0:
         extra = jnp.zeros((1,), _F32)
     extra = jnp.asarray(extra, _F32).reshape(-1)
+    # z_base slot (training is never z-sharded; the kernel reads p[30])
+    params = jnp.concatenate([jnp.asarray(params, _F32)[:30],
+                              jnp.zeros((1,), _F32)])
 
     if k_per_step is None:
         # in-block (bf16) + out-block (f32) double-buffered must fit VMEM

@@ -38,7 +38,7 @@ from volrend_tpu.utils.options import RenderOptions
 __all__ = [
     "make_mesh", "replicate_tree", "shard_rays", "render_rays_sharded",
     "render_image_sharded", "loss_and_grad_sharded", "pad_to_multiple",
-    "render_rays_cp",
+    "render_rays_cp", "render_frame_slab_zsharded",
 ]
 
 
@@ -176,6 +176,90 @@ def render_rays_cp(tree: TreeArrays, origins, dirs, opt: RenderOptions,
 
 
 _F32 = jnp.float32
+
+
+def render_frame_slab_zsharded(grid, transform, fx, fy,
+                               width: int, height: int, opt: RenderOptions,
+                               mesh: Mesh, gi: int = 512,
+                               axis_name: str = "z"):
+    """Context/tensor-parallel FAST path: the slab-major payload is
+    z-SHARDED across devices (each chip holds 1/n of the dense volume —
+    the TP answer for grids larger than one chip's HBM), every device
+    marches its own z-segment through the fused Pallas kernel
+    (``march_slabs(z_base=...)``), and segments merge with the associative
+    front-to-back rule (C, T) o (C', T') = (C + T C', T T') — the same
+    decomposition as ``render_rays_cp``, applied to the T3 slab march.
+
+    Per-segment early termination cannot see upstream transmittance, so
+    segment semantics apply (stop_thresh=0, no renorm; the per-pixel
+    z-interval liveness gates still skip non-contributing windows).
+    Returns the (H, W, 4) frame, replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+    from volrend_tpu.ops import pallas_slab, slab_render
+
+    transform = np.asarray(transform, np.float32).reshape(3, 4)
+    perm, flip, slope = slab_render.choose_axis(
+        grid, transform, fx, fy, width, height)
+    if not (np.isfinite(slope) and slope < slab_render.MAX_SLAB_SLOPE):
+        raise ValueError("pose not renderable by the slab path")
+    seg_opt = opt.replace(stop_thresh=0.0, renormalize=False)
+    if not slab_render._pallas_ok(grid, seg_opt):
+        raise ValueError("grid/options not supported by the fused kernel")
+
+    n = mesh.shape[axis_name]
+    G = grid.G
+    if G % n:
+        raise ValueError(f"G={G} not divisible by mesh axis {n}")
+    Gl = G // n
+
+    g = slab_render.FrameGeom(grid, jnp.asarray(transform), fx, fy, perm,
+                              flip, width, height, seg_opt, gi)
+    params, zb = slab_render._pallas_frame_fields(grid, g, perm, flip,
+                                                  seg_opt)
+    payload = slab_render._permuted_grid(grid, perm, True)[0]
+
+    blo, bhi = seg_opt.basis_minmax
+    rotm = slab_render._rodrigues(seg_opt.rot_dirs)
+    rot = (None if rotm is None
+           else tuple(float(v) for v in rotm.reshape(-1)))
+    ids = (tuple(range(Gl - 1, -1, -1)) if flip else tuple(range(Gl)))
+    march_order = (range(n - 1, -1, -1) if flip else range(n))
+
+    def local(pay_l, params_l, zb_l, qs_l, extra_l):
+        i = jax.lax.axis_index(axis_name).astype(_F32)
+        z_base = i * (Gl / G)
+        acc4 = pallas_slab.march_slabs(
+            pay_l, params_l, qs_l, zb_l, G, gi, grid.data_dim,
+            grid.basis_dim, perm, slab_ids=ids, basis_lo=int(blo),
+            basis_hi=int(bhi), sig2=grid.quantized, extra=extra_l,
+            fmt=int(grid.fmt), depth=bool(seg_opt.render_depth), rot=rot,
+            flip=flip, bbox_full=slab_render._bbox_full(seg_opt),
+            z_base=z_base)
+        parts = jax.lax.all_gather(acc4, axis_name)     # (n, 4, gi, gi)
+        C = jnp.zeros((3, gi, gi), _F32)
+        T = jnp.ones((gi, gi), _F32)
+        for j in march_order:
+            C = C + T[None] * parts[j, :3]
+            T = T * parts[j, 3]
+        return jnp.concatenate([C, T[None]])
+
+    extra = grid.extra
+    if extra is None or np.prod(np.shape(extra)) == 0:
+        extra = jnp.zeros((1,), _F32)
+    acc = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P(), P()),
+        out_specs=P(), check_rep=False,
+    )(payload, params, jnp.stack([g.z_lo_pix, g.z_hi_pix]),
+      jnp.asarray(grid.qscale, _F32), jnp.asarray(extra, _F32).reshape(-1))
+
+    rgb = jnp.moveaxis(acc[:3], 0, -1)
+    T = acc[3]
+    stopped = jnp.zeros_like(T, bool)
+    return slab_render._finalize_and_warp(
+        grid, rgb, T, stopped, seg_opt, g.R, g.fx, g.fy, width, height,
+        gi, perm, g.u0, g.du, g.v0, g.dv, g.scale, origin=g.origin_w)
 
 
 def stack_trees(trees) -> TreeArrays:
