@@ -78,3 +78,58 @@ def test_headless_cli_renderers_agree(scene_files, tmp_path):
     mse = float(np.mean(diff[..., :3] ** 2))
     psnr = -10 * np.log10(mse + 1e-12)
     assert psnr > 28.0
+
+
+def test_headless_cli_ndc_scene(tmp_path):
+    """Headless render of an LLFF/NDC scene (sidecar *_poses_bounds.npy,
+    n3tree.cpp:131-148): the slab renderer must take the NDC fast path and
+    agree with the exact renderer."""
+    d = tmp_path
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=4, sigma_scale=60.0)
+    tree_path = str(d / "ndc_tree.npz")
+    tree.save_npz(tree_path)
+    # LLFF sidecar: one (17,) row = flattened 3x5 [(-up)|right|back|cen|hwf]
+    # + 2 depth bounds
+    block = np.zeros((3, 5))
+    block[:, 0] = [0.0, -1.0, 0.0]      # -up
+    block[:, 1] = [1.0, 0.0, 0.0]       # right
+    block[:, 2] = [0.0, 0.0, 1.0]       # backward
+    block[:, 3] = [0.0, 0.0, 0.5]       # cen sum
+    block[:, 4] = [800.0, 800.0, 1111.0]
+    row = np.concatenate([block.reshape(-1), [1.0, 10.0]])
+    np.save(str(d / "ndc_tree_poses_bounds.npy"), row[None])
+
+    # forward-facing pose near the z=0 plane (the LLFF viewing regime)
+    back = np.array([0.05, 0.02, 1.0])
+    back /= np.linalg.norm(back)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, back)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(back, right)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.stack([right, up2, back], 1)
+    c2w[:3, 3] = [0.0, 0.0, 0.2]
+    pose_path = str(d / "pose_000.txt")
+    np.savetxt(pose_path, c2w)
+    intrin = np.eye(4)
+    intrin[0, 0] = intrin[1, 1] = 52.0
+    intrin_path = str(d / "intrinsics.txt")
+    np.savetxt(intrin_path, intrin)
+
+    from volrend_tpu.cli import headless
+    outs = {}
+    for renderer in ("slab", "exact"):
+        out_dir = str(d / f"out_{renderer}")
+        rc = headless.main([
+            tree_path, pose_path, "-i", intrin_path,
+            "-W", "48", "-H", "48", "-o", out_dir, "--renderer", renderer,
+            "--gi", "128",
+        ])
+        assert rc == 0
+        outs[renderer] = read_png(
+            os.path.join(out_dir, "pose_000.png")).astype(np.float32)
+    a, b = outs["slab"][..., :3], outs["exact"][..., :3]
+    assert (a.min(-1) < 250).mean() > 0.1          # scene visible
+    mse = float(np.mean(((a - b) / 255.0) ** 2))
+    psnr = 99.0 if mse < 1e-12 else -10.0 * np.log10(mse)
+    assert psnr > 30.0, f"NDC headless slab-vs-exact {psnr:.1f} dB"
