@@ -231,3 +231,36 @@ def test_slab_zsharded_forward_direction(monkeypatch):
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
+
+
+def test_slab_zsharded_batched_matches_per_pose(monkeypatch):
+    """Batched z-sharded frames (one lax.map dispatch over a pose group)
+    == the per-pose call."""
+    from volrend_tpu.ops import dense_grid, pallas_slab, slab_render
+
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                          sigma_scale=60.0)
+    grid = dense_grid.bake_dense(tree.to_device(lut_depth=None))
+    cams = []
+    for i in range(3):
+        back = np.array([0.92, 0.2 + 0.08 * i, 0.27])
+        back /= np.linalg.norm(back)
+        cams.append(Camera.from_vectors(center=tuple(2.5 * back),
+                                        v_back=tuple(back),
+                                        width=32, height=32, fx=40.0))
+    opt = RenderOptions(max_steps=512)
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        mesh = dist.make_mesh(jax.devices()[:4], axis_name="z")
+        trs = np.stack([c.transform for c in cams])
+        batch = np.asarray(dist.render_frames_slab_zsharded(
+            grid, trs, cams[0].fx, cams[0].fy, 32, 32, opt, mesh, gi=96))
+        for i, c in enumerate(cams):
+            single = np.asarray(dist.render_frame_slab_zsharded(
+                grid, c.transform, c.fx, c.fy, 32, 32, opt, mesh, gi=96))
+            np.testing.assert_allclose(batch[i], single, atol=2e-3)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()

@@ -262,6 +262,97 @@ def render_frame_slab_zsharded(grid, transform, fx, fy,
         gi, perm, g.u0, g.du, g.v0, g.dv, g.scale, origin=g.origin_w)
 
 
+def render_frames_slab_zsharded(grid, transforms, fx, fy,
+                                width: int, height: int, opt: RenderOptions,
+                                mesh: Mesh, gi: int = 512,
+                                axis_name: str = "z"):
+    """Batched ``render_frame_slab_zsharded``: all poses must share one
+    (perm, flip) group (split by ``slab_render.choose_axis`` first, like
+    bench.py's pose grouping); the sharded payload is materialized once
+    and every pose marches in one ``lax.map`` dispatch. Returns
+    (N, H, W, 4), replicated."""
+    from jax.experimental.shard_map import shard_map
+    from volrend_tpu.ops import pallas_slab, slab_render
+
+    transforms = np.asarray(transforms, np.float32).reshape(-1, 3, 4)
+    keys = {slab_render.choose_axis(grid, t, fx, fy, width, height)[:2]
+            for t in transforms}
+    if len(keys) != 1:
+        raise ValueError(f"poses span {len(keys)} (perm, flip) groups; "
+                         "split them first")
+    (perm, flip), = keys
+    seg_opt = opt.replace(stop_thresh=0.0, renormalize=False)
+    if not slab_render._pallas_ok(grid, seg_opt):
+        raise ValueError("grid/options not supported by the fused kernel")
+    n = mesh.shape[axis_name]
+    G = grid.G
+    if G % n:
+        raise ValueError(f"G={G} not divisible by mesh axis {n}")
+    Gl = G // n
+
+    def fields(tr):
+        g = slab_render.FrameGeom(grid, tr, fx, fy, perm, flip,
+                                  width, height, seg_opt, gi)
+        params, zb = slab_render._pallas_frame_fields(grid, g, perm, flip,
+                                                      seg_opt)
+        return (params, zb, g.R, g.u0, g.du, g.v0, g.dv, g.origin_w)
+
+    stacked = jax.vmap(fields)(jnp.asarray(transforms))
+    payload = slab_render._permuted_grid(grid, perm, True)[0]
+
+    blo, bhi = seg_opt.basis_minmax
+    rotm = slab_render._rodrigues(seg_opt.rot_dirs)
+    rot = (None if rotm is None
+           else tuple(float(v) for v in rotm.reshape(-1)))
+    ids = (tuple(range(Gl - 1, -1, -1)) if flip else tuple(range(Gl)))
+    march_order = (range(n - 1, -1, -1) if flip else range(n))
+    extra = grid.extra
+    if extra is None or np.prod(np.shape(extra)) == 0:
+        extra = jnp.zeros((1,), _F32)
+
+    def local(pay_l, stacked_l, qs_l, extra_l):
+        i = jax.lax.axis_index(axis_name).astype(_F32)
+        z_base = i * (Gl / G)
+
+        def one(args):
+            params_l, zb_l = args
+            acc4 = pallas_slab.march_slabs(
+                pay_l, params_l, qs_l, zb_l, G, gi, grid.data_dim,
+                grid.basis_dim, perm, slab_ids=ids, basis_lo=int(blo),
+                basis_hi=int(bhi), sig2=grid.quantized, extra=extra_l,
+                fmt=int(grid.fmt), depth=bool(seg_opt.render_depth),
+                rot=rot, flip=flip,
+                bbox_full=slab_render._bbox_full(seg_opt), z_base=z_base)
+            parts = jax.lax.all_gather(acc4, axis_name)
+            C = jnp.zeros((3, gi, gi), _F32)
+            T = jnp.ones((gi, gi), _F32)
+            for j in march_order:
+                C = C + T[None] * parts[j, :3]
+                T = T * parts[j, 3]
+            return jnp.concatenate([C, T[None]])
+
+        return jax.lax.map(one, (stacked_l[0], stacked_l[1]))
+
+    accs = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), (P(), P()), P(), P()),
+        out_specs=P(), check_rep=False,
+    )(payload, (stacked[0], stacked[1]),
+      jnp.asarray(grid.qscale, _F32), jnp.asarray(extra, _F32).reshape(-1))
+
+    def finalize(args):
+        acc, R, u0, du, v0, dv, origin = args
+        rgb = jnp.moveaxis(acc[:3], 0, -1)
+        T = acc[3]
+        return slab_render._finalize_and_warp(
+            grid, rgb, T, jnp.zeros_like(T, bool), seg_opt, R,
+            jnp.asarray(fx, _F32), jnp.asarray(fy, _F32), width, height,
+            gi, perm, u0, du, v0, dv, grid.scale, origin=origin)
+
+    return jax.lax.map(finalize, (accs, stacked[2], stacked[3], stacked[4],
+                                  stacked[5], stacked[6], stacked[7]))
+
+
 def stack_trees(trees) -> TreeArrays:
     """Stack multiple scenes into one leading-axis pytree for multi-scene
     sharding (the EP analog: scenes as experts on device subsets;
