@@ -472,3 +472,12 @@ def test_viewer_page_has_gizmo_ui(server):
     html = _get(base + "/").decode()
     for frag in ("drawGizmo", "/mesh/drag", "grab", "gizmo.mode"):
         assert frag in html
+
+
+def test_info_reports_backend(server):
+    """get_backend() parity (cuda_renderer.cpp:225): /info names the path
+    that produced the last frame."""
+    base, state = server
+    _get(base + "/frame?w=32&h=32")
+    info = json.loads(_get(base + "/info"))
+    assert info["backend"] == "exact"   # fixture runs use_slab=False

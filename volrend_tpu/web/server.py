@@ -489,6 +489,10 @@ class ViewerState:
                 self._payload_cache.clear()
         self.lock = threading.Lock()
         self.fps = fps_counter()
+        #: which render path produced the last frame (the reference's
+        #: get_backend(), cuda_renderer.cpp:225): "slab-pallas",
+        #: "slab-xla", or "exact"
+        self.last_backend = "exact"
         #: keyframe animation editor state (main_anim.cpp:136-182 AnimKF;
         #: the browser panel is the ImGui keyframe editor analog)
         self.keyframes: list = []
@@ -515,11 +519,16 @@ class ViewerState:
                 img = slab_render.render_image(
                     self.grid, self.cam, self.opt, gi=512,
                     payload_cache=self._payload_cache)
+                self.last_backend = (
+                    "slab-pallas"
+                    if slab_render._pallas_ok(self.grid, self.opt)
+                    else "slab-xla")
         if img is None:
             from volrend_tpu.ops import composite
             img = composite.render_frame_with_meshes(
                 self.dev, self.cam, self.opt, self.meshes,
                 host_tree=self.tree)
+            self.last_backend = "exact"
         buf = io.BytesIO()
         _write_png_bytes(buf, img)
         return buf.getvalue()
@@ -977,6 +986,7 @@ class ViewerState:
 
     def info(self) -> dict:
         return {
+            "backend": self.last_backend,
             "data_dim": self.tree.data_dim,
             "basis_dim": self.tree.data_format.basis_dim,
             "format": self.tree.data_format.to_string(),
