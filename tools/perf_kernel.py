@@ -46,11 +46,17 @@ def main():
     gplanar = jnp.transpose(
         grid.data, (perm[0], 3, perm[1], perm[2])).astype(jnp.bfloat16)
     gi = 512
-    params = jnp.zeros((20,), jnp.float32).at[0].set(-2.0).at[4].set(
+    params = jnp.zeros((30,), jnp.float32).at[0].set(-2.0).at[4].set(
         4.0 / gi).at[3].set(-2.0).at[5].set(-2.0).at[6].set(4.0 / gi).at[
         7].set(1.0).at[8].set(2.0).at[9].set(2.0).at[10].set(2.0).at[
         11].set(2.0).at[12].set(2.0).at[13].set(2.0).at[14].set(1e-2).at[
         15].set(1e-2).at[17].set(1.0).at[19].set(1.0)
+    # dirM affine slope->dir map (params[20:29], see _pack_params): the
+    # slot-based construction sgn * inv_scale[a] * e_{slot[a]}
+    slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}
+    for a in range(3):
+        params = params.at[20 + 3 * a + slot[a]].set(2.0)
+    params = params.at[29].set(-2.0)     # depth t origin (= cz)
     zb = jnp.stack([jnp.zeros((gi, gi)), jnp.ones((gi, gi))])
 
     ids = grid.slab_ids(perm[0], flip, float(opt.sigma_thresh))

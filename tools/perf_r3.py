@@ -46,11 +46,14 @@ def main():
 
     gplanar, _ = slab_render._permuted_grid(grid, perm, True)
     gplanar.block_until_ready()
-    params = jnp.zeros((20,), jnp.float32).at[0].set(-2.0).at[4].set(
+    params = jnp.zeros((30,), jnp.float32).at[0].set(-2.0).at[4].set(
         4.0 / gi).at[3].set(-2.0).at[5].set(-2.0).at[6].set(4.0 / gi).at[
         7].set(1.0).at[8].set(2.0).at[9].set(2.0).at[10].set(2.0).at[
         11].set(2.0).at[12].set(2.0).at[13].set(2.0).at[14].set(1e-2).at[
-        15].set(1e-2).at[17].set(1.0).at[19].set(1.0)
+        15].set(1e-2).at[17].set(1.0).at[19].set(1.0).at[29].set(-2.0)
+    _slot = {perm[0]: 0, perm[1]: 1, perm[2]: 2}
+    for _a in range(3):
+        params = params.at[20 + 3 * _a + _slot[_a]].set(2.0)
     zb = jnp.stack([jnp.zeros((gi, gi)), jnp.ones((gi, gi))])
 
     for chunk, K in ((32, 4), (64, 4), (128, 4), (256, 4), (64, 8),
