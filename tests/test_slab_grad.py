@@ -615,3 +615,61 @@ def test_ndc_frame_trainer_descends(ndc_train_scene):
     assert tr.grid.ndc == grid.ndc
     losses = [tr.step_frame(cam, target) for _ in range(20)]
     assert losses[-1] < 0.5 * losses[0], losses
+
+
+def test_zsharded_train_march_matches_single(monkeypatch):
+    """Z-sharded training march (fwd AND bwd kernels sharded; suffix
+    prefixes (T_in, A_in) derived from the forward partials): loss and
+    payload gradients must match the single-device Pallas backend."""
+    from volrend_tpu.ops import pallas_slab
+    from volrend_tpu.parallel import dist
+
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                          sigma_scale=60.0)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    bmap = slab_grad.build_bake_map(dev)
+    data32 = jnp.asarray(dev.data, jnp.float32)
+    cam = Camera.from_vectors(center=(2.4, 0.5, 0.7),
+                              v_back=(0.92, 0.2, 0.27),
+                              width=24, height=24, fx=30.0)
+    perm, flip, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, 24, 24)
+    assert np.isfinite(slope)
+    # segment semantics in BOTH paths for an apples-to-apples gradient
+    opt = RenderOptions(max_steps=512, stop_thresh=0.0)
+    rng = np.random.default_rng(4)
+    W = jnp.asarray(rng.normal(size=(24, 24, 4)).astype(np.float32))
+    tr = jnp.asarray(cam.transform)
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        def loss_single(d):
+            out = slab_grad.render_frame_train(
+                d, bmap, grid, tr, cam.fx, cam.fy, perm, flip, 24, 24,
+                opt, gi=48, backend="pallas")
+            return jnp.sum(out * W)
+
+        l_ref, g_ref = jax.value_and_grad(loss_single)(data32)
+
+        for n_dev in (2, 4):
+            mesh = dist.make_mesh(jax.devices()[:n_dev], axis_name="z")
+
+            def loss_sharded(d):
+                out = slab_grad.render_frame_train_zsharded(
+                    d, bmap, grid, tr, cam.fx, cam.fy, perm, flip,
+                    24, 24, opt, mesh, gi=48)
+                return jnp.sum(out * W)
+
+            l_s, g_s = jax.value_and_grad(loss_sharded)(data32)
+            assert np.isclose(float(l_s), float(l_ref), rtol=1e-4), n_dev
+            gs = np.asarray(g_s, np.float64)
+            gr = np.asarray(g_ref, np.float64)
+            rel = np.linalg.norm(gs - gr) / (np.linalg.norm(gr) + 1e-30)
+            cos = float((gs * gr).sum()
+                        / (np.linalg.norm(gs) * np.linalg.norm(gr) + 1e-30))
+            assert rel < 3e-2 and cos > 0.999, (n_dev, rel, cos)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()

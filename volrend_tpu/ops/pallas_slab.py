@@ -842,7 +842,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
                      perm: Tuple[int, int, int], basis_lo: int,
                      basis_hi: int, fmt: int,
                      rot: Optional[Tuple[float, ...]], K: int, flip: bool,
-                     bbox_full: bool = False):
+                     bbox_full: bool = False, n_win: Optional[int] = None):
     """Gradient of the slab march w.r.t. the (unquantized, planar) payload.
 
     Re-marches the slabs in FORWARD order carrying (T, A) in VMEM scratch —
@@ -860,7 +860,6 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
     from volrend_tpu.models.data_format import BasisType
     bt = BasisType(fmt)
     dz_order = range(K - 1, -1, -1) if flip else range(K)
-    n_win = G // K
 
     def kernel(params_ref, qs_ref, extra_ref, slab_ref, zb_ref,
                gacc_ref, aux_ref, out_ref, state_ref):
@@ -868,12 +867,16 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
 
         @pl.when(i == 0)
         def _init():
-            state_ref[0] = jnp.ones((gi, gi), _F32)      # T
-            state_ref[1] = jnp.zeros((gi, gi), _F32)     # A
+            # incoming (T, A) state: (1, 0) for a whole-grid march; a
+            # z-sharded segment starts from the upstream segments' prefix
+            # (aux planes 2/3) — the suffix algebra is otherwise unchanged
+            state_ref[0] = aux_ref[2]                    # T
+            state_ref[1] = aux_ref[3]                    # A
 
         # static window sequence (training never culls): static block index
         # maps let Mosaic double-buffer the in/out block streams
-        wid = (n_win - 1 - i) if flip else i
+        nw = n_win if n_win is not None else G // K
+        wid = (nw - 1 - i) if flip else i
 
         def _slab_bwd(dzi, pre_w, pre_wT, ycm, xcm, okb):
             sid = wid * K + dzi
@@ -1064,49 +1067,64 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
                     rot: Optional[Tuple[float, ...]] = None,
                     flip: bool = False,
                     k_per_step: Optional[int] = None,
-                    bbox_full: bool = False):
+                    bbox_full: bool = False,
+                    z_base=None, state_init=None):
     """Payload-cotangent of ``march_slabs`` (training fast path).
 
-    gplanar: (G, D, G, G) channel-planar bf16 payload — the same array the
-        forward marched (unquantized; training bakes from trainable leaves).
+    gplanar: (Gz, D, G, G) channel-planar bf16 payload — the same array the
+        forward marched (unquantized; training bakes from trainable leaves;
+        Gz < G for a z-SHARDED segment).
     gacc4: (4, gi, gi) upstream cotangent [g_r, g_g, g_b, g_T].
-    acc4: (4, gi, gi) the forward output (residual).
-    Returns (G, D, G, G) float32 payload gradient. Marches ALL slabs in
+    acc4: (4, gi, gi) the GLOBAL forward output (residual — for a sharded
+        march, the combined frame, not the local segment).
+    z_base: traced scalar — global z of the payload's first slab.
+    state_init: optional (2, gi, gi) incoming (T, A) suffix state — the
+        upstream segments' transmittance prefix and accumulated
+        sum_{j<seg} w_j*G_j (see slab_grad for how both derive from the
+        forward partials). None = (1, 0) (whole-grid march).
+    Returns (Gz, D, G, G) float32 payload gradient. Marches ALL slabs in
     forward order (training mode never culls — a culled slab could never
     regrow density), writing each K-window's grad block exactly once.
     """
     Dp = gplanar.shape[1]
+    Gz = gplanar.shape[0]
     assert Dp == D, "backward kernel requires an unquantized payload"
     if extra is None or np.prod(np.shape(extra)) == 0:
         extra = jnp.zeros((1,), _F32)
     extra = jnp.asarray(extra, _F32).reshape(-1)
-    # z_base slot (training is never z-sharded; the kernel reads p[30])
+    if z_base is None:
+        z_base = jnp.asarray(0.0, _F32)
     params = jnp.concatenate([jnp.asarray(params, _F32)[:30],
-                              jnp.zeros((1,), _F32)])
+                              jnp.asarray(z_base, _F32).reshape(1)])
 
     if k_per_step is None:
         # in-block (bf16) + out-block (f32) double-buffered must fit VMEM
         per_slab = Dp * G * G * (2 + 4) * 2
         k_per_step = 1
         for k in (8, 4, 2):
-            if G % k == 0 and k * per_slab <= 80 * 2 ** 20:
+            if Gz % k == 0 and k * per_slab <= 80 * 2 ** 20:
                 k_per_step = k
                 break
-    K = max(1, min(k_per_step, G))
-    while G % K:
+    K = max(1, min(k_per_step, Gz))
+    while Gz % K:
         K -= 1
 
     ctot = jnp.sum(gacc4[:3] * acc4[:3], axis=0)
     gT_term = gacc4[3] * acc4[3]
-    aux = jnp.stack([ctot, gT_term])
+    if state_init is None:
+        state_init = jnp.concatenate([jnp.ones((1, gi, gi), _F32),
+                                      jnp.zeros((1, gi, gi), _F32)])
+    aux = jnp.concatenate([ctot[None], gT_term[None],
+                           jnp.asarray(state_init, _F32)])
     zbounds = _zb_planes(params, zbounds, G, gi)
 
-    nwin = G // K
+    nwin = Gz // K
     widx = ((lambda i: (nwin - 1 - i, 0, 0, 0)) if flip
             else (lambda i: (i, 0, 0, 0)))
 
     kernel = _make_bwd_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
-                              fmt, rot, K, flip, bbox_full=bbox_full)
+                              fmt, rot, K, flip, bbox_full=bbox_full,
+                              n_win=nwin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nwin,),
@@ -1117,7 +1135,7 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
             pl.BlockSpec((K, Dp, G, G), widx),
             pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
             pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
-            pl.BlockSpec((2, gi, gi), lambda i: (0, 0, 0)),
+            pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((K, Dp, G, G), widx),
         scratch_shapes=[pltpu.VMEM((2, gi, gi), _F32)],
@@ -1125,7 +1143,7 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, Dp, G, G), _F32),
+        out_shape=jax.ShapeDtypeStruct((Gz, Dp, G, G), _F32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_FORCE_INTERPRET,

@@ -67,7 +67,8 @@ _F32 = jnp.float32
 
 __all__ = ["BakeMap", "build_bake_map", "bake_from_data",
            "data_to_pyramid", "pyramid_to_data", "bake_from_pyramid",
-           "render_frame_train", "loss_and_grad_frame"]
+           "render_frame_train", "loss_and_grad_frame",
+           "render_frame_train_zsharded"]
 
 
 # ---------------------------------------------------------------------------
@@ -676,3 +677,155 @@ def loss_and_grad_frames_sharded(data, bmap: BakeMap, grid: DenseGrid,
         out_specs=(P(), P()), check_vma=False)
     return fn(data, jnp.asarray(transforms, _F32),
               jnp.asarray(targets, _F32))
+
+
+# ---------------------------------------------------------------------------
+# Z-sharded training march (CP/TP for the fast training path)
+# ---------------------------------------------------------------------------
+
+def _make_zsharded_march(cfg: SlabCfg, mesh, axis_name: str):
+    """Custom-VJP slab march whose payload is z-SHARDED across ``mesh``:
+    each device marches (and back-marches) its own z-segment of the volume
+    through the fused kernels. The forward combines segments with the
+    associative (C, T) rule; the backward needs NO serialization — every
+    suffix-algebra prefix a segment requires derives from the forward
+    partials:
+
+        T_in_d = prod_{d' upstream} T_d'            (transmittance prefix)
+        A_in_d = sum_{d' upstream} T_in_d' * B_d',
+        B_d'   = sum_c gacc_c * C_local_d'_c        (since per-segment
+                 sum_j w_loc G_pix = sum_c gacc_c * C_local_c)
+
+    so the per-segment backward kernel just starts from state (T_in, A_in)
+    (``march_slabs_bwd(state_init=...)``) — the same equations as the
+    whole-grid march with a different initial state.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from volrend_tpu.ops import pallas_slab
+
+    n = mesh.shape[axis_name]
+    G = cfg.G
+    assert G % n == 0, f"G={G} not divisible by mesh axis {n}"
+    Gl = G // n
+    gi = cfg.gi
+    blo, bhi, rot, bfull = _pallas_statics(cfg)
+    ids = (tuple(range(Gl - 1, -1, -1)) if cfg.flip else tuple(range(Gl)))
+    march_order = (range(n - 1, -1, -1) if cfg.flip else range(n))
+
+    def _fwd_parts(planar, params, zb, extra):
+        def local(pay_l, params_l, zb_l, extra_l):
+            i = jax.lax.axis_index(axis_name).astype(_F32)
+            acc4 = pallas_slab.march_slabs(
+                pay_l.astype(jnp.bfloat16), params_l,
+                jnp.ones((cfg.D,), _F32), zb_l, G, gi, cfg.D, cfg.bd,
+                cfg.perm, slab_ids=ids, basis_lo=blo, basis_hi=bhi,
+                sig2=False, extra=extra_l, fmt=cfg.fmt, depth=False,
+                rot=rot, flip=cfg.flip, bbox_full=bfull,
+                z_base=i * (Gl / G))
+            return jax.lax.all_gather(acc4, axis_name)  # (n, 4, gi, gi)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis_name), P(), P(), P()),
+            out_specs=P(), check_rep=False,
+        )(planar, params, zb, extra)
+
+    def _combine(parts):
+        C = jnp.zeros((3, gi, gi), _F32)
+        T = jnp.ones((gi, gi), _F32)
+        for j in march_order:
+            C = C + T[None] * parts[j, :3]
+            T = T * parts[j, 3]
+        return jnp.concatenate([C, T[None]])
+
+    @jax.custom_vjp
+    def march(planar, params, zb, extra):
+        acc4 = _combine(_fwd_parts(planar, params, zb, extra))
+        return jnp.moveaxis(acc4[:3], 0, -1), acc4[3]
+
+    def fwd(planar, params, zb, extra):
+        parts = _fwd_parts(planar, params, zb, extra)
+        acc4 = _combine(parts)
+        return ((jnp.moveaxis(acc4[:3], 0, -1), acc4[3]),
+                (planar, params, zb, extra, parts, acc4))
+
+    def bwd(res, gbar):
+        planar, params, zb, extra, parts, acc4 = res
+        g_acc, g_T = gbar
+        gacc4 = jnp.concatenate([
+            jnp.moveaxis(g_acc.astype(_F32), -1, 0),
+            g_T.astype(_F32)[None]])
+        # per-device incoming (T, A) from the forward partials
+        T_in = [None] * n
+        A_in = [None] * n
+        Tc = jnp.ones((gi, gi), _F32)
+        Ac = jnp.zeros((gi, gi), _F32)
+        for d in march_order:
+            T_in[d], A_in[d] = Tc, Ac
+            B_d = jnp.sum(gacc4[:3] * parts[d, :3], axis=0)
+            Ac = Ac + Tc * B_d
+            Tc = Tc * parts[d, 3]
+        state = jnp.stack([jnp.stack([T_in[d], A_in[d]])
+                           for d in range(n)])          # (n, 2, gi, gi)
+
+        def local(pay_l, state_l, params_l, zb_l, extra_l, gacc_l, acc_l):
+            i = jax.lax.axis_index(axis_name).astype(_F32)
+            return pallas_slab.march_slabs_bwd(
+                pay_l.astype(jnp.bfloat16), params_l,
+                jnp.ones((cfg.D,), _F32), zb_l, gacc_l, acc_l,
+                G, gi, cfg.D, cfg.bd, cfg.perm, basis_lo=blo,
+                basis_hi=bhi, extra=extra_l, fmt=cfg.fmt, rot=rot,
+                flip=cfg.flip, bbox_full=bfull,
+                z_base=i * (Gl / G), state_init=state_l[0])
+
+        grad = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P()),
+            out_specs=P(axis_name), check_rep=False,
+        )(planar, state, params, zb, extra, gacc4, acc4)
+        return (grad.astype(planar.dtype), jnp.zeros_like(params),
+                jnp.zeros_like(zb), jnp.zeros_like(extra))
+
+    march.defvjp(fwd, bwd)
+    return march
+
+
+def render_frame_train_zsharded(data, bmap: BakeMap, grid: DenseGrid,
+                                transform, fx, fy,
+                                perm: Tuple[int, int, int], flip: bool,
+                                width: int, height: int, opt: RenderOptions,
+                                mesh, gi: int = 512,
+                                axis_name: str = "z"):
+    """``render_frame_train`` with the march (fwd AND bwd kernels)
+    z-sharded across ``mesh`` — the memory-scaling mode for whole-frame
+    training of grids beyond one chip's HBM (at bench scale the f32
+    payload + cotangents alone exceed a 16 GB chip). Segment semantics
+    apply (stop_thresh=0; training renders already run renormalize=False).
+    """
+    opt = opt.replace(renormalize=False, render_depth=False,
+                      stop_thresh=0.0)
+    if isinstance(data, (tuple, list)):
+        payload = bake_from_pyramid(
+            tuple(p.astype(_F32) for p in data), bmap)
+    else:
+        payload = bake_from_data(data.astype(_F32), bmap)
+    geom = slab_render.FrameGeom(grid, transform, fx, fy, perm, flip,
+                                 width, height, opt, gi)
+    order = range(grid.G - 1, -1, -1) if flip else range(grid.G)
+    cfg = SlabCfg(G=grid.G, gi=gi, D=grid.data_dim, bd=grid.basis_dim,
+                  fmt=int(grid.fmt), perm=perm, flip=flip,
+                  ids=tuple(order), opt=opt)
+    if not _pallas_train_ok(cfg):
+        raise ValueError("grid/options not supported by the fused kernels")
+    planar = jnp.transpose(payload, (perm[0], 3, perm[1], perm[2]))
+    inv_scale = 1.0 / geom.scale
+    params = lax.stop_gradient(_pack_geom_params(geom, cfg, inv_scale))
+    zb = lax.stop_gradient(jnp.stack([geom.z_lo_pix, geom.z_hi_pix]))
+    march = _make_zsharded_march(cfg, mesh, axis_name)
+    acc, T = march(planar, params, zb, lax.stop_gradient(grid.extra))
+    inter = jnp.concatenate([acc, (1.0 - T)[..., None]], -1)
+    return slab_render._warp_to_screen(
+        inter, opt, geom.R, geom.fx, geom.fy, width, height, gi, perm,
+        geom.u0, geom.du, geom.v0, geom.dv, geom.scale, precise=True,
+        ndc=grid.ndc, origin=lax.stop_gradient(geom.origin_w))
