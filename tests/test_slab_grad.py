@@ -673,3 +673,39 @@ def test_zsharded_train_march_matches_single(monkeypatch):
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
+
+
+def test_frame_trainer_zsharded_descends(monkeypatch):
+    """FrameTrainer.step_frame_zsharded: training loss descends with the
+    march z-sharded over a 4-device mesh."""
+    import dataclasses
+    from volrend_tpu.ops import pallas_slab
+    from volrend_tpu.parallel import dist
+    from volrend_tpu.train import FrameTrainer
+
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                          sigma_scale=60.0)
+    dev = tree.to_device(lut_depth=None)
+    cam = Camera.from_vectors(center=(2.4, 0.5, 0.7),
+                              v_back=(0.92, 0.2, 0.27),
+                              width=24, height=24, fx=30.0)
+    opt = RenderOptions(max_steps=512, renormalize=False, stop_thresh=0.0)
+    target = np.asarray(render_jax.render_image(dev, cam, opt))
+
+    rng = np.random.default_rng(1)
+    noisy = dataclasses.replace(
+        dev, data=jnp.asarray(np.asarray(dev.data, np.float32)
+                              + rng.normal(0, 0.3, dev.data.shape)
+                              .astype(np.float32), jnp.float16))
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        mesh = dist.make_mesh(jax.devices()[:4], axis_name="z")
+        tr = FrameTrainer(noisy, opt, lr=5e-2, gi=48)
+        losses = [tr.step_frame_zsharded(mesh, cam, target)
+                  for _ in range(15)]
+        assert losses[-1] < 0.6 * losses[0], losses
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()

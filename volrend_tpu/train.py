@@ -244,6 +244,37 @@ class FrameTrainer(Trainer):
         self.step_count += 1
         return float(loss)
 
+    def step_frame_zsharded(self, mesh, cam, target,
+                            axis_name: str = "z") -> float:
+        """One SGD step with the march's fwd+bwd kernels z-SHARDED over
+        ``mesh`` (slab_grad.render_frame_train_zsharded) — the
+        memory-scaling mode for grids whose f32 payload + cotangents
+        exceed one chip's HBM. Segment semantics (stop_thresh=0)."""
+        from volrend_tpu.ops import slab_grad
+
+        perm, flip = self._group(cam)
+        tr = jnp.asarray(cam.transform)
+        tgt = jnp.asarray(target, jnp.float32)
+
+        @partial(jax.jit, static_argnames=())
+        def step(data, opt_state):
+            def loss_fn(d):
+                out = slab_grad.render_frame_train_zsharded(
+                    d, self.bmap, self.grid, tr, float(cam.fx),
+                    float(cam.fy), perm, flip, cam.width, cam.height,
+                    self.opt, mesh, gi=self.gi, axis_name=axis_name)
+                diff = out[..., :3] - tgt[..., :3]
+                return jnp.mean(diff * diff)
+
+            loss, g = jax.value_and_grad(loss_fn)(data)
+            updates, opt_state = self.optimizer.update(g, opt_state, data)
+            return optax.apply_updates(data, updates), opt_state, loss
+
+        self.pyramid, self.opt_state, loss = step(self.pyramid,
+                                                  self.opt_state)
+        self.step_count += 1
+        return float(loss)
+
     def place_frames(self, cams, targets):
         """Pre-place a pose batch's targets on device ONCE; pass the result
         as ``targets`` to step_frames_sharded on every epoch. Without this
