@@ -690,8 +690,11 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     if z_base is None:
         z_base = jnp.asarray(0.0, _F32)
     z_base = jnp.asarray(z_base, _F32)
-    params = jnp.concatenate([jnp.asarray(params, _F32)[:30],
-                              z_base.reshape(1)])
+    params = jnp.asarray(params, _F32)
+    assert params.shape[0] >= 30, (
+        f"params has {params.shape[0]} entries; the kernel needs the "
+        "30-slot layout (see _pack_params — [20:29] dirM, [29] z0_depth)")
+    params = jnp.concatenate([params[:30], z_base.reshape(1)])
 
     acc0 = (jnp.concatenate([
         jnp.zeros((3, gi, gi), _F32), jnp.ones((1, gi, gi), _F32)])
