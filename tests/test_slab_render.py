@@ -609,3 +609,34 @@ def test_pallas_interpret_ndc_depth(ndc_scene, monkeypatch):
     _interpret_vs_xla(grid, cam, RenderOptions(render_depth=True,
                                                max_steps=512),
                       monkeypatch, gate=40.0)
+
+
+def test_ndc_slab_with_viz_options(ndc_scene):
+    """NDC + viewdir rotation + render_bbox through the slab path (the
+    dirM map composes with rodrigues; bbox clamps are tree-coord generic)."""
+    dev, grid = ndc_scene
+    cam = make_ndc_cam()
+    opt = RenderOptions(max_steps=512, rot_dirs=(0.25, -0.15, 0.3),
+                        render_bbox=(0.1, 0.1, 0.0, 0.9, 0.9, 1.0),
+                        basis_minmax=(0, 2))
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    out = slab_render.render_image(grid, cam, opt, gi=128)
+    p = psnr(out[..., :3], ref[..., :3])
+    assert p > 30.0, f"NDC viz-options PSNR {p:.1f} dB"
+
+
+def test_pallas_interpret_ndc_int8(ndc_scene, monkeypatch):
+    """NDC + int8 quantized grid through the fused kernel (in-kernel
+    dequant + NDC dirM shading together)."""
+    from volrend_tpu.models.synthetic import make_test_tree
+    from volrend_tpu.models.n3tree import NdcConfig
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=4,
+                          sigma_scale=60.0)
+    tree.use_ndc = True
+    tree.ndc = NdcConfig(width=800.0, height=800.0, focal=1111.0)
+    grid8 = dense_grid.bake_dense(tree.to_device(lut_depth=None),
+                                  dtype="int8")
+    assert grid8.quantized and grid8.ndc is not None
+    cam = make_ndc_cam(width=32, height=32, fx=36.0)
+    _interpret_vs_xla(grid8, cam, RenderOptions(max_steps=512), monkeypatch,
+                      gate=40.0)

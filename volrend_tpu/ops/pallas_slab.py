@@ -245,8 +245,13 @@ def _shade_pre(p, G: int, bbox_full: bool):
     if bbox_full:
         okb = None
     else:
+        # voxel-EXTENT intersection with the bbox (matches slab_render's
+        # XLA mask): the per-pixel z-intervals clip rays exactly, so
+        # boundary voxels must stay in play
         lo1, hi1, lo2, hi2 = p[16], p[17], p[18], p[19]
-        okb = (yc >= lo1) & (yc < hi1) & (xc >= lo2) & (xc < hi2)
+        h = 0.5 / G
+        okb = ((yc + h > lo1) & (yc - h < hi1)
+               & (xc + h > lo2) & (xc - h < hi2))
     return yc - cy, xc - cx, okb
 
 

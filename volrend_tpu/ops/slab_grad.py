@@ -303,8 +303,11 @@ def _slab_pixels(cfg: SlabCfg, slab, extra, gm, zi):
     sigma = slab[..., D - 1]
     vox = (jnp.arange(G, dtype=_F32) + 0.5) / G
     lo, hi = gm["lo"], gm["hi"]
-    ok = ((vox[:, None] >= lo[1]) & (vox[:, None] < hi[1])
-          & (vox[None, :] >= lo[2]) & (vox[None, :] < hi[2])
+    # voxel-extent bbox intersection (see slab_render: the per-pixel
+    # z-intervals clip rays exactly; boundary voxels must stay)
+    h = _F32(0.5 / G)
+    ok = ((vox[:, None] + h > lo[1]) & (vox[:, None] - h < hi[1])
+          & (vox[None, :] + h > lo[2]) & (vox[None, :] - h < hi[2])
           & (sigma > _F32(opt.sigma_thresh)))
     sigma = jnp.where(ok, sigma, 0.0)
 

@@ -591,8 +591,13 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
     sigma_thresh = _F32(opt.sigma_thresh)
     stop_thresh = _F32(opt.stop_thresh)
     vox = (jnp.arange(G, dtype=_F32) + 0.5) / G         # voxel centers
-    yok_vox = (vox >= lo[1]) & (vox < hi[1])            # bbox masks, static
-    xok_vox = (vox >= lo[2]) & (vox < hi[2])
+    # in-plane bbox mask: keep any voxel whose EXTENT intersects the bbox
+    # (the reference clips the ray's t-range, never zeroing voxels —
+    # rt_core.cuh:17-34; the per-pixel z-intervals below clip each ray
+    # exactly, so boundary voxels must stay or half-voxel bands vanish,
+    # which for near-parallel NDC rays wipes whole image rows)
+    yok_vox = (vox + 0.5 / G > lo[1]) & (vox - 0.5 / G < hi[1])
+    xok_vox = (vox + 0.5 / G > lo[2]) & (vox - 0.5 / G < hi[2])
     inv_scale = 1.0 / scale
     sp1, sp2, sp0 = (inv_scale[perm[1]], inv_scale[perm[2]],
                      inv_scale[perm[0]])
