@@ -640,3 +640,35 @@ def test_pallas_interpret_ndc_int8(ndc_scene, monkeypatch):
     cam = make_ndc_cam(width=32, height=32, fx=36.0)
     _interpret_vs_xla(grid8, cam, RenderOptions(max_steps=512), monkeypatch,
                       gate=40.0)
+
+
+def test_full_resolution_800_parity_ndc():
+    """NDC twin of the 800^2 parity gate: one forward-facing LLFF pose at
+    bench output resolution through the NDC slab path vs exact T2 rays."""
+    from volrend_tpu.models.n3tree import NdcConfig
+    W = H = 800
+    tree = make_test_tree(max_depth=5, basis_dim=4, seed=3, n_blobs=4,
+                          sigma_scale=60.0)
+    tree.use_ndc = True
+    tree.ndc = NdcConfig(width=float(W), height=float(H), focal=1111.0)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    opt = RenderOptions(max_steps=512)
+    cam = make_ndc_cam(center=(0.02, -0.01, 0.15), back=(0.03, 0.015, 1.0),
+                       width=W, height=H, fx=278.0)
+    perm, flip, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    assert perm[0] == 2 and np.isfinite(slope)
+    frame = np.asarray(slab_render.render_frame(
+        grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+        W, H, opt, gi=448))
+
+    ys = np.arange(0, H, 10)
+    xs = np.arange(0, W, 10)
+    origins, dirs = cam.pixel_rays(xp=np)
+    sel = (ys[:, None] * W + xs[None, :]).reshape(-1)
+    exact = np.asarray(render_jax.render_rays(
+        dev, jnp.asarray(origins[sel]), jnp.asarray(dirs[sel]), opt))
+    got = frame[ys][:, xs].reshape(-1, 4)
+    p = psnr(got[:, :3], exact[:, :3])
+    assert p > 38.0, f"NDC 800^2 slab-vs-exact PSNR {p:.1f} dB"
