@@ -466,6 +466,51 @@ def test_solid_scene_sparse_and_matches_exact():
     assert p > 30.0, f"solid-scene slab PSNR {p:.1f}"
 
 
+def test_fractional_boundary_uniform_sigma():
+    """Constant-sigma volume: slab resampling of a constant field is exact,
+    so the only slab-path error channel left is boundary quantization —
+    entry/exit slabs must contribute by their FRACTIONAL overlap with the
+    pixel's exact z-interval (the sub-slab analog of the reference clipping
+    each ray's t-range, rt_core.cuh:17-34). Whole-slab quantization errs by
+    ~sigma*dz/2 in tau (~0.02 absolute here); the fractional path must
+    match the exact renderer to ~1e-3 on every channel incl. alpha."""
+    from volrend_tpu.models.synthetic import build_tree
+    from volrend_tpu.models.data_format import DataFormat, BasisType
+
+    SIG = 2.0
+
+    def refine(c, cs, d):
+        return np.ones(len(c), bool)
+
+    def leaf(c, cs):
+        out = np.zeros((len(c), 4), np.float32)
+        out[:, 0] = 2.0          # constant SH0 color coefficient
+        out[:, -1] = SIG
+        return out
+
+    tree = build_tree(refine, leaf, max_depth=2, data_dim=4,
+                      data_format=DataFormat(BasisType.SH, 1))
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    opt = RenderOptions(step_size=1e-5)   # shrink T2's per-step epsilon bias
+    for back in ((0.3, 0.1, 1.0), (1.0, 0.2, 0.3), (0.5, 0.45, 0.4)):
+        back = np.asarray(back, np.float64)
+        back /= np.linalg.norm(back)
+        up = (0.0, 0.0, 1.0) if abs(back[2]) < 0.9 else (0.0, 1.0, 0.0)
+        # narrow FOV: the view cone stays strictly inside the cube, so no
+        # silhouette pixels (those mix warp-resampled saturation — the
+        # documented x/y class, not what this test isolates) and no
+        # early-stop renorm; every ray crosses an entry AND an exit face
+        cam = Camera.from_vectors(
+            center=tuple(np.array([0.5] * 3) + 2.0 * back),
+            v_back=tuple(back), v_world_up=up,
+            width=32, height=32, fx=160.0)
+        ref = np.asarray(render_jax.render_image(dev, cam, opt))
+        out = np.asarray(slab_render.render_image(grid, cam, opt, gi=64))
+        err = float(np.max(np.abs(out - ref)))
+        assert err < 2e-3, f"back={back}: max abs err {err:.4f}"
+
+
 def test_pallas_interpret_solid_scene_partial_masks(monkeypatch):
     """The static-index path with PARTIAL occupancy masks (sparse scene:
     per-slab @pl.when gating + zero-mask gap windows) must match the XLA

@@ -1,4 +1,4 @@
-"""Round-2 sweep: march kernel K (slabs/window), _CHUNK, and bf16 shading.
+"""Round-2 sweep: march kernel K (slabs/window), bf16 shading, and gi.
 
 Per-window costs (the hoisted _warp_pre/_shade_pre planes + the window
 dispatch) amortize over K slabs, so larger K should cut VPU work; the
@@ -38,7 +38,6 @@ def sync_time(fn, *args, reps=3):
 
 def main():
     W = H = 800
-    gi = 448
     tree = bench_mod.get_tree()
     dev = tree.to_device(lut_depth=None)
     grid = dense_grid.bake_dense(dev, dtype="int8")
@@ -53,8 +52,13 @@ def main():
     n = len(same)
     log(f"setup done; {n} poses G={grid.G}")
 
-    for K, chunk, bf16 in itertools.product((4, 8), (128, 256),
-                                            (False, True)):
+    # gi joined the sweep after the fractional-boundary fix: CPU quality
+    # probe shows PSNR flat in gi (71.3 dB at gi=384, 70.8 at 320 — int8
+    # dequant noise is the floor), so smaller intermediate grids are a
+    # free composite-lane reduction if the kernel stays fast.
+    for K, chunk, bf16, gi in itertools.product((4, 8), (128,),
+                                                (False, True),
+                                                (256, 320, 384, 448)):
         pallas_slab._CHUNK = chunk
         pallas_slab._BF16_SHADE = bf16
         jax.clear_caches()
@@ -66,13 +70,13 @@ def main():
                 kw["k_per_step"] = K
                 return orig(*a, **kw)
             pallas_slab.march_slabs = patched
-            fb = jax.jit(lambda g, ts: slab_render.render_frames(
+            fb = jax.jit(lambda g, ts, gi=gi: slab_render.render_frames(
                 g, ts, cam.fx, cam.fy, perm, flip, W, H, opt, gi))
             t = sync_time(fb, grid, trs, reps=2)
-            log(f"K={K} chunk={chunk} bf16={int(bf16)}: "
+            log(f"K={K} chunk={chunk} bf16={int(bf16)} gi={gi}: "
                 f"{t/n*1e3:6.2f} ms/frame")
         except Exception as e:
-            log(f"K={K} chunk={chunk} bf16={int(bf16)}: FAILED {e}")
+            log(f"K={K} chunk={chunk} bf16={int(bf16)} gi={gi}: FAILED {e}")
         finally:
             pallas_slab.march_slabs = orig
     pallas_slab._CHUNK = 128

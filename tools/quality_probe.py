@@ -50,8 +50,13 @@ def main():
         dev, jnp.asarray(origins[sel]), jnp.asarray(dirs[sel]), opt))
     print(f"exact rays {time.perf_counter()-t0:.0f}s", flush=True)
 
-    for g, label in ((grid, "int8"), (gridf, "f16")):
-        for gi in (448, 640, 800, 1024):
+    gis = tuple(int(x) for x in os.environ.get(
+        "QP_GIS", "448,640,800,1024").split(","))
+    grids = ((grid, "int8"), (gridf, "f16"))
+    if os.environ.get("QP_INT8_ONLY"):
+        grids = ((grid, "int8"),)
+    for g, label in grids:
+        for gi in gis:
             t0 = time.perf_counter()
             frame = np.asarray(slab_render.render_frame(
                 g, jnp.asarray(cam.transform), cam.fx, cam.fy,

@@ -226,8 +226,9 @@ def _window_live(T_plane, zb_ref, stop_thresh, wid, K: int, G: int,
     skipping the window's shade/warp/composite (or zero-filling its grad
     block) is exact. z_off: global z of the payload's first slab (nonzero
     for z-sharded partial payloads)."""
-    zw0 = ((wid * K).astype(_F32) + 0.5) / G + z_off
-    zw1 = ((wid * K).astype(_F32) + (K - 0.5)) / G + z_off
+    # window extent includes the half-slab fractional-overlap margin
+    zw0 = (wid * K).astype(_F32) / G + z_off
+    zw1 = ((wid * K).astype(_F32) + K) / G + z_off
     return jnp.any((T_plane >= stop_thresh)
                    & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
 
@@ -451,16 +452,21 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                         preferred_element_type=_F32) for c in range(3)]
 
             # per-pixel slab thickness along the ray: per-frame constant,
-            # prebuilt by _zb_planes (resident zbounds block, plane 2)
-            tau_w = sig_w * zb_ref[2]
+            # prebuilt by _zb_planes (resident zbounds block, plane 2).
+            # Boundary slabs contribute FRACTIONALLY (overlap of the
+            # slab's z extent with the exact per-pixel interval — the
+            # sub-slab analog of the reference's t-range clip)
+            zlo = zb_ref[0]
+            zhi = zb_ref[1]
+            hG = 0.5 / G
+            frac = jnp.clip((jnp.minimum(z + hG, zhi)
+                             - jnp.maximum(z - hG, zlo)) * G, 0.0, 1.0)
+            tau_w = sig_w * zb_ref[2] * frac
             att = jnp.exp(-tau_w)
             sig_inv = 1.0 / jnp.maximum(sig_w, 1e-12)
 
-            zlo = zb_ref[0]
-            zhi = zb_ref[1]
             T = acc_ref[3]
-            m = ((z >= zlo) & (z <= zhi) & (T >= stop_thresh)
-                 & (tau_w > 0.0))
+            m = (T >= stop_thresh) & (tau_w > 0.0)
             w = jnp.where(m, T * (1.0 - att), 0.0)
             if depth:
                 tview = jnp.abs(z - p[29]) * zb_ref[3]
@@ -785,8 +791,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                     a, G, gi, Dp, K, base, step)
 
             acc = lax.cond(
-                live(acc[3], float(zvals.min()) + z_base,
-                     float(zvals.max()) + z_base),
+                live(acc[3], float(zvals.min()) - 0.5 / G + z_base,
+                     float(zvals.max()) + 0.5 / G + z_base),
                 call, lambda a: a, acc)
         return acc
 
@@ -823,13 +829,14 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     def cond(carry):
         c, acc = carry
         in_range = c < n_chunks
-        zmin = rem_zmin_d[jnp.minimum(c, n_chunks - 1)] + z_base
-        zmax = rem_zmax_d[jnp.minimum(c, n_chunks - 1)] + z_base
+        zmin = rem_zmin_d[jnp.minimum(c, n_chunks - 1)] - 0.5 / G + z_base
+        zmax = rem_zmax_d[jnp.minimum(c, n_chunks - 1)] + 0.5 / G + z_base
         return in_range & live(acc[3], zmin, zmax)
 
     def body(carry):
         c, acc = carry
-        hit = live(acc[3], czmin_d[c] + z_base, czmax_d[c] + z_base)
+        hit = live(acc[3], czmin_d[c] - 0.5 / G + z_base,
+                   czmax_d[c] + 0.5 / G + z_base)
         acc = lax.cond(
             hit,
             lambda a: _chunk_call(kernel, ids_dev[c], params, qscale,
@@ -968,17 +975,19 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
                               preferred_element_type=_F32)
                       for c in range(3)]
 
-            dt_pix = zb_ref[2]          # per-frame plane (_zb_planes)
+            zlo = zb_ref[0]
+            zhi = zb_ref[1]
+            hG = 0.5 / G
+            frac = jnp.clip((jnp.minimum(z + hG, zhi)
+                             - jnp.maximum(z - hG, zlo)) * G, 0.0, 1.0)
+            dt_pix = zb_ref[2] * frac   # per-frame plane * boundary frac
             tau_w = sig_w * dt_pix
             att = jnp.exp(-tau_w)
             sig_inv = 1.0 / jnp.maximum(sig_w, 1e-12)
 
-            zlo = zb_ref[0]
-            zhi = zb_ref[1]
             T = state_ref[0]
             A = state_ref[1]
-            m = ((z >= zlo) & (z <= zhi) & (T >= stop_thresh)
-                 & (tau_w > 0.0))
+            m = (T >= stop_thresh) & (tau_w > 0.0)
             w = jnp.where(m, T * (1.0 - att), 0.0)
 
             # ---- pixel-space gradients (suffix algebra) --------------------

@@ -354,20 +354,28 @@ def _slab_pixels(cfg: SlabCfg, slab, extra, gm, zi):
 
 
 def _composite_update(cfg: SlabCfg, zi, tau_w, rgb_w, gm, acc, T, done):
-    """Shared forward compositing update for one slab."""
+    """Shared forward compositing update for one slab.
+
+    Boundary slabs contribute FRACTIONALLY: tau scales by the overlap of
+    the slab's z extent with the pixel's exact [z_lo, z_hi] interval —
+    the sub-slab analog of the reference clipping each ray's t-range
+    (rt_core.cuh:17-34) instead of quantizing entry/exit to whole steps."""
     G = cfg.G
     z = (zi.astype(_F32) + 0.5) / G
     z_lo, z_hi = gm["z_lo"], gm["z_hi"]
-    att = jnp.exp(-tau_w)
-    in_z = (z >= z_lo) & (z <= z_hi)
-    m = (~done) & in_z & (tau_w > 0.0)
+    h = _F32(0.5 / G)
+    frac = jnp.clip((jnp.minimum(z + h, z_hi)
+                     - jnp.maximum(z - h, z_lo)) * _F32(G), 0.0, 1.0)
+    tau_f = tau_w * frac
+    att = jnp.exp(-tau_f)
+    m = (~done) & (tau_f > 0.0)
     w = jnp.where(m, T * (1.0 - att), 0.0)
     acc = acc + w[..., None] * rgb_w
     T_new = jnp.where(m, T * att, T)
     stopped = m & (T_new < _F32(cfg.opt.stop_thresh))
-    passed = (z < z_lo) if cfg.flip else (z > z_hi)
+    passed = (z - h > z_hi) if not cfg.flip else (z + h < z_lo)
     done = done | stopped | passed
-    return acc, T_new, done, m, w, att
+    return acc, T_new, done, m, w, att, frac
 
 
 def _march_fwd_impl(cfg: SlabCfg, payload, extra, gm):
@@ -384,7 +392,7 @@ def _march_fwd_impl(cfg: SlabCfg, payload, extra, gm):
         acc, T, done = carry
         slab = lax.dynamic_index_in_dim(payload, zi, 0, keepdims=False)
         tau_w, rgb_w = _slab_pixels(cfg, slab, extra, gm, zi)
-        acc, T, done, _, _, _ = _composite_update(
+        acc, T, done, _, _, _, _ = _composite_update(
             cfg, zi, tau_w, rgb_w, gm, acc, T, done)
         return (acc, T, done), None
 
@@ -424,13 +432,15 @@ def _march_bwd(cfg: SlabCfg, res, gbar):
         (tau_w, rgb_w), pix_vjp = jax.vjp(
             lambda sl: _slab_pixels(cfg, sl, extra, gm, zi), slab)
         acc_dummy = jnp.zeros((gi, gi, 3), _F32)
-        _, T_new, done_new, m, w, att = _composite_update(
+        _, T_new, done_new, m, w, att, frac = _composite_update(
             cfg, zi, tau_w, rgb_w, gm, acc_dummy, T, done)
 
-        # suffix-reconstruction pixel gradients (grad.py algebra)
+        # suffix-reconstruction pixel gradients (grad.py algebra); the
+        # boundary-slab fraction chains into the pre-frac tau cotangent
         G_pix = jnp.einsum("yxc,yxc->yx", g_acc, rgb_w)
         A = A + w * G_pix
-        g_tau_w = jnp.where(m, T * att * G_pix - (ctot - A) - gT_term, 0.0)
+        g_tau_f = jnp.where(m, T * att * G_pix - (ctot - A) - gT_term, 0.0)
+        g_tau_w = g_tau_f * frac
         g_rgb_w = g_acc * w[..., None]
 
         (g_slab,) = pix_vjp((g_tau_w, g_rgb_w))

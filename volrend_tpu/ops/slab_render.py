@@ -26,8 +26,11 @@ classic shear-warp factorization re-designed for TPU dataflow:
 
 Quality matches per-pixel ray marching up to (a) x/y-boundary corner voxels
 that a DDA would clip at sub-slab precision and (b) the per-segment
-``step_size`` epsilon; see tests/test_slab_render.py for PSNR gates vs the
-exact T2 renderer.
+``step_size`` epsilon; entry/exit slabs along z contribute *fractionally*
+(tau scaled by the slab's overlap with the pixel's exact z-interval), so
+the z boundary is sub-slab exact — see tests/test_slab_render.py
+(incl. ``test_fractional_boundary_uniform_sigma``) for gates vs the exact
+T2 renderer.
 """
 
 from __future__ import annotations
@@ -539,14 +542,15 @@ class FrameGeom:
         self.n_ids = int(ids_np.shape[0])
         self.ids_arr = ids_arr = jnp.asarray(ids_np)
         zs_arr = (ids_arr.astype(_F32) + 0.5) / G
+        h = _F32(0.5 / G)       # slabs overlapping the interval fractionally
         if flip:
             z_start = jnp.max(
                 jnp.where(z_lo_pix <= z_hi_pix, z_hi_pix, -big))
-            self.k0 = jnp.sum((zs_arr > z_start).astype(jnp.int32))
+            self.k0 = jnp.sum((zs_arr > z_start + h).astype(jnp.int32))
         else:
             z_start = jnp.min(
                 jnp.where(z_lo_pix <= z_hi_pix, z_lo_pix, big))
-            self.k0 = jnp.sum((zs_arr < z_start).astype(jnp.int32))
+            self.k0 = jnp.sum((zs_arr < z_start - h).astype(jnp.int32))
 
 
 def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
@@ -664,7 +668,14 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         Xw = (fc[None, :, None] * Xr[:, d0]
               + (1.0 - fc)[None, :, None] * Xr[:, d1])  # (gi, gi, 4)
         sig_w = Xw[..., 0]
-        tau_w = sig_w * dt_pix
+        # boundary slabs contribute fractionally: scale tau by the overlap
+        # of the slab's z extent with the pixel's exact [z_lo, z_hi]
+        # interval (sub-slab entry/exit, matching the reference's t-range
+        # clip instead of whole-slab quantization)
+        hG = 0.5 / G
+        frac = jnp.clip((jnp.minimum(z + hG, z_hi_pix)
+                         - jnp.maximum(z - hG, z_lo_pix)) * G, 0.0, 1.0)
+        tau_w = sig_w * dt_pix * frac
         att = jnp.exp(-tau_w)
         if opt.render_depth:
             tview = jnp.abs(z - z0_depth) * jnp.sqrt(
@@ -674,13 +685,14 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         else:
             rgb = Xw[..., 1:] / jnp.maximum(sig_w, 1e-12)[..., None]
 
-        in_z = (z >= z_lo_pix) & (z <= z_hi_pix)        # (gi, gi)
-        m = (~done) & in_z & (tau_w > 0.0) & in_range
+        m = (~done) & (tau_w > 0.0) & in_range
         w = jnp.where(m, T * (1.0 - att), 0.0)
         acc = acc + w[..., None] * rgb
         T = jnp.where(m, T * att, T)
         stopped = stopped | (m & (T < stop_thresh))
-        passed = (z < z_lo_pix) if flip else (z > z_hi_pix)
+        # only fully-passed slabs (no fractional overlap left) finish a ray
+        passed = ((z + hG < z_lo_pix) if flip
+                  else (z - hG > z_hi_pix))
         done = done | stopped | (passed & in_range)
         return acc, T, stopped, done
 
