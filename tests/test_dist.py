@@ -72,6 +72,7 @@ def test_sharded_grads_match_single(setup):
                                rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
@@ -164,6 +165,7 @@ def test_multi_scene_sharded_multiple_per_group(setup):
             dist.stack_trees(trees[:2]), oo, dd, opt, mesh)
 
 
+@pytest.mark.slow
 def test_slab_zsharded_matches_single(monkeypatch):
     """T3 CP/TP mode: the z-sharded slab march (payload split across the
     mesh, per-device fused-kernel segments, associative (C,T) combine)
@@ -199,6 +201,7 @@ def test_slab_zsharded_matches_single(monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_slab_zsharded_forward_direction(monkeypatch):
     """Non-flip march (toward +axis): device segments combine in ascending
     order (the first test's pose marches toward -axis = flip, so the two
@@ -233,6 +236,7 @@ def test_slab_zsharded_forward_direction(monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_slab_zsharded_batched_matches_per_pose(monkeypatch):
     """Batched z-sharded frames (one lax.map dispatch over a pose group)
     == the per-pose call."""

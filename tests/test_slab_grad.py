@@ -96,6 +96,7 @@ def test_train_render_matches_eval_slab(scene):
     assert psnr(out[..., :3], ref[..., :3]) > 40.0
 
 
+@pytest.mark.slow
 def test_custom_vjp_matches_autodiff(scene):
     dev, grid, bmap, data32, cam, perm, flip = frame_setup(scene)
     opt = RenderOptions(max_steps=512)
@@ -117,6 +118,7 @@ def test_custom_vjp_matches_autodiff(scene):
     np.testing.assert_allclose(g1, g2, atol=2e-5 * scale, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_grad_finite_differences(scene):
     dev, grid, bmap, data32, cam, perm, flip = frame_setup(scene)
     opt = RenderOptions(max_steps=512)
@@ -181,6 +183,7 @@ def test_training_reduces_loss(scene):
     assert losses[-1] < 0.3 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_slab_grads_match_fused_ray_vjp(scene):
     """Cross-path gradient agreement: the slab-path VJP vs the per-sample
     octree-march fused VJP (ops/grad.py) on the same frame loss. The two
@@ -235,6 +238,7 @@ def test_frame_trainer_descends(scene):
     assert losses[-1] < 0.5 * losses[0], losses
 
 
+@pytest.mark.slow
 def test_frame_trainer_sharded_matches_single(scene):
     """8 poses sharded over the 8-device mesh: loss equals the sequential
     per-frame mean, grads agree (same psum'd update)."""
@@ -369,6 +373,7 @@ def _pallas_frame_parts(scene, gi=32):
     return grid, cfg, gm, planar, pperm, params, zb
 
 
+@pytest.mark.slow
 def test_pallas_bwd_kernel_matches_autodiff(scene, monkeypatch):
     """march_slabs_bwd (interpret) == jax.grad of the scan march on the
     same bf16-rounded payload, up to the kernel's bf16 warp matmuls."""
@@ -410,6 +415,7 @@ def test_pallas_bwd_kernel_matches_autodiff(scene, monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_pallas_bwd_early_exit_opaque(monkeypatch):
     """Near-opaque scene: most windows behind the first surface hit the
     backward kernel's whole-frame early exit and zero-fill their grad
@@ -459,6 +465,7 @@ def test_pallas_bwd_early_exit_opaque(monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_pallas_train_backend_end_to_end(scene, monkeypatch):
     """render_frame_train(backend='pallas') forward and loss gradients
     match the scan backend through bake -> march -> warp -> loss."""
@@ -563,6 +570,7 @@ def test_ndc_custom_vjp_matches_autodiff(ndc_train_scene):
     np.testing.assert_allclose(g1, g2, atol=2e-5 * scale, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_ndc_pallas_train_backend(ndc_train_scene, monkeypatch):
     """The fused Pallas training kernels (fwd+bwd) must match the scan
     backend on an NDC tree (interpret mode)."""
@@ -617,6 +625,7 @@ def test_ndc_frame_trainer_descends(ndc_train_scene):
     assert losses[-1] < 0.5 * losses[0], losses
 
 
+@pytest.mark.slow
 def test_zsharded_train_march_matches_single(monkeypatch):
     """Z-sharded training march (fwd AND bwd kernels sharded; suffix
     prefixes (T_in, A_in) derived from the forward partials): loss and
@@ -675,6 +684,7 @@ def test_zsharded_train_march_matches_single(monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_frame_trainer_zsharded_descends(monkeypatch):
     """FrameTrainer.step_frame_zsharded: training loss descends with the
     march z-sharded over a 4-device mesh."""
@@ -706,6 +716,114 @@ def test_frame_trainer_zsharded_descends(monkeypatch):
         losses = [tr.step_frame_zsharded(mesh, cam, target)
                   for _ in range(15)]
         assert losses[-1] < 0.6 * losses[0], losses
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+
+
+@pytest.mark.slow
+def test_zsharded_bwd_prefix_matches_unsharded_kernel(monkeypatch):
+    """DIRECT numeric gate on the z-sharded backward-prefix derivation:
+    per-segment ``march_slabs_bwd`` seeded with (T_in, A_in) reconstructed
+    from the forward partials (T_in = prod upstream T; A_in = sum upstream
+    T_in * B, B = sum_c gacc_c * C_local_c) must equal the unsharded
+    ``march_slabs_bwd`` on the SAME payload — n in {2, 4, 8} splits, both
+    march directions, tol 1e-5. Pins the suffix algebra itself, not just
+    the end-to-end loss (slab_grad._make_zsharded_march.bwd)."""
+    from volrend_tpu.ops import pallas_slab
+
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5, sigma_scale=60.0)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    G, D, bd, fmt = grid.G, grid.data_dim, grid.basis_dim, int(grid.fmt)
+    gi = 48
+    opt = RenderOptions(max_steps=512, stop_thresh=0.0, renormalize=False)
+    rng = np.random.default_rng(11)
+    gacc4 = jnp.asarray(rng.normal(size=(4, gi, gi)).astype(np.float32))
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        flips_seen = set()
+        for sign in (-1.0, 1.0):
+            cam = make_cam((sign * 0.92, 0.2, 0.27))
+            perm, flip, slope = slab_render.choose_axis(
+                grid, cam.transform, cam.fx, cam.fy, 24, 24)
+            assert np.isfinite(slope)
+            flips_seen.add(flip)
+            geom = slab_render.FrameGeom(grid, cam.transform, cam.fx,
+                                         cam.fy, perm, flip, 24, 24, opt, gi)
+            cfg = slab_grad.SlabCfg(G=G, gi=gi, D=D, bd=bd, fmt=fmt,
+                                    perm=perm, flip=flip,
+                                    ids=tuple(range(G)), opt=opt)
+            params = slab_grad._pack_geom_params(geom, cfg, 1.0 / geom.scale)
+            zb = jnp.stack([geom.z_lo_pix, geom.z_hi_pix])
+            planar = jnp.transpose(
+                jnp.asarray(grid.data, jnp.float32),
+                (perm[0], 3, perm[1], perm[2])).astype(jnp.bfloat16)
+            blo, bhi, rot, bfull = slab_grad._pallas_statics(cfg)
+            qs = jnp.ones((D,), jnp.float32)
+            ids_full = (tuple(range(G - 1, -1, -1)) if flip
+                        else tuple(range(G)))
+
+            acc4 = pallas_slab.march_slabs(
+                planar, params, qs, zb, G, gi, D, bd, perm,
+                slab_ids=ids_full, basis_lo=blo, basis_hi=bhi,
+                extra=grid.extra, fmt=fmt, flip=flip, bbox_full=bfull)
+            g_ref = np.asarray(pallas_slab.march_slabs_bwd(
+                planar, params, qs, zb, gacc4, acc4, G, gi, D, bd, perm,
+                basis_lo=blo, basis_hi=bhi, extra=grid.extra, fmt=fmt,
+                flip=flip, bbox_full=bfull), np.float64)
+
+            for n in (2, 4, 8):
+                Gl = G // n
+                ids_l = (tuple(range(Gl - 1, -1, -1)) if flip
+                         else tuple(range(Gl)))
+                order = list(range(n - 1, -1, -1) if flip else range(n))
+                parts = {}
+                for d in range(n):
+                    parts[d] = pallas_slab.march_slabs(
+                        planar[d * Gl:(d + 1) * Gl], params, qs, zb, G, gi,
+                        D, bd, perm, slab_ids=ids_l, basis_lo=blo,
+                        basis_hi=bhi, extra=grid.extra, fmt=fmt, flip=flip,
+                        bbox_full=bfull, z_base=jnp.float32(d * Gl / G))
+                # combined forward must match the unsharded march
+                C = jnp.zeros((3, gi, gi), jnp.float32)
+                T = jnp.ones((gi, gi), jnp.float32)
+                for d in order:
+                    C = C + T[None] * parts[d][:3]
+                    T = T * parts[d][3]
+                np.testing.assert_allclose(
+                    np.asarray(jnp.concatenate([C, T[None]])),
+                    np.asarray(acc4), atol=1e-5, rtol=1e-5)
+                # per-segment backward from reconstructed (T_in, A_in)
+                T_in = jnp.ones((gi, gi), jnp.float32)
+                A_in = jnp.zeros((gi, gi), jnp.float32)
+                g_segs = [None] * n
+                for d in order:
+                    state = jnp.stack([T_in, A_in])
+                    g_segs[d] = np.asarray(pallas_slab.march_slabs_bwd(
+                        planar[d * Gl:(d + 1) * Gl], params, qs, zb,
+                        gacc4, acc4, G, gi, D, bd, perm, basis_lo=blo,
+                        basis_hi=bhi, extra=grid.extra, fmt=fmt, flip=flip,
+                        bbox_full=bfull, z_base=jnp.float32(d * Gl / G),
+                        state_init=state), np.float64)
+                    B_d = jnp.sum(gacc4[:3] * parts[d][:3], axis=0)
+                    A_in = A_in + T_in * B_d
+                    T_in = T_in * parts[d][3]
+                g_cat = np.concatenate(g_segs, axis=0)
+                scale = max(np.abs(g_ref).max(), 1e-12)
+                # norm-relative <= 1e-5 is the headline gate; the
+                # elementwise bound allows the rare f32-cancellation
+                # element (g_tau is a difference of large terms; 1-ulp
+                # regrouping of the T product moves tiny outputs)
+                rel = (np.linalg.norm(g_cat - g_ref)
+                       / max(np.linalg.norm(g_ref), 1e-30))
+                assert rel <= 1e-5, (n, flip, rel)
+                np.testing.assert_allclose(
+                    g_cat, g_ref, atol=1e-4 * scale, rtol=1e-4,
+                    err_msg=f"n={n} flip={flip}")
+        assert flips_seen == {False, True}
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()

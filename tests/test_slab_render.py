@@ -412,6 +412,7 @@ def test_full_resolution_800_parity():
     assert p > 40.0, f"800^2 slab-vs-exact PSNR {p:.1f} dB"
 
 
+@pytest.mark.slow
 def test_pallas_static_matches_dynamic_dispatch(scene, monkeypatch):
     """The static-index window path (dense contiguous runs) and the
     scalar-prefetch path must produce bit-identical marches — they share
@@ -524,6 +525,7 @@ def test_pallas_interpret_solid_scene_partial_masks(monkeypatch):
                       gate=40.0)
 
 
+@pytest.mark.slow
 def test_slab_fuzz_random_poses(scene):
     """Random-pose fuzz across the viewing sphere: every slab-compatible
     pose must agree with the exact renderer; incompatible poses must be

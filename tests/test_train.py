@@ -113,6 +113,7 @@ def test_sharded_training_step(problem):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scaled_sharded_epoch_with_midrun_resume(tmp_path):
     """Train through the real (fast slab) pipeline at scale once (VERDICT
     r1 item 9): 256x256 frames, 8 poses sharded over the 8-device mesh,
@@ -193,6 +194,7 @@ def test_scaled_sharded_epoch_with_midrun_resume(tmp_path):
                                   np.asarray(tr_c.data))
 
 
+@pytest.mark.slow
 def test_train_slab_demo_example(tmp_path):
     """The whole-frame training example must run end-to-end and recover
     the corrupted scene (small config; the full 800^2 run on one v5e
