@@ -719,3 +719,135 @@ def test_full_resolution_800_parity_ndc():
     got = frame[ys][:, xs].reshape(-1, 4)
     p = psnr(got[:, :3], exact[:, :3])
     assert p > 38.0, f"NDC 800^2 slab-vs-exact PSNR {p:.1f} dB"
+
+
+def test_superquad_warp_matches_reference(scene, monkeypatch):
+    """The superquad display warp (4x-fewer-rows gather + Pallas tent
+    combine, ops/display_warp.py) must match the reference quad-gather
+    warp to one bf16 table ulp, including the ok-mask/background edges."""
+    import jax
+    from volrend_tpu.ops import display_warp, pallas_slab
+    dev, grid = scene
+    W = H = 200
+    gi = 96
+    # production-like focal (fx/W ~ 1111/800): the superquad window fit
+    # holds everywhere, so the Pallas fast branch is the one exercised;
+    # the wide-FOV fallback branch is pinned separately below
+    back = np.asarray((1.0, 0.25, 0.35))
+    back /= np.linalg.norm(back)
+    cam = Camera.from_vectors(center=tuple(2.5 * back), v_back=tuple(back),
+                              v_world_up=(0.0, 0.0, 1.0), width=W,
+                              height=H, fx=280.0)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    g = slab_render.FrameGeom(grid, jnp.asarray(cam.transform), cam.fx,
+                              cam.fy, perm, flip, W, H, opt, gi)
+    rng = np.random.default_rng(7)
+    inter = jnp.asarray(rng.uniform(0.0, 1.0, (gi, gi, 4)), jnp.float32)
+
+    ref = np.asarray(jax.jit(lambda it: slab_render._warp_to_screen(
+        it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+        g.dv, g.scale))(inter))
+    # the fit must hold for this pose (otherwise the fast branch is dead)
+    assert not np.allclose(ref[..., 3], 0.0)
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        assert display_warp.usable(W, H, gi)
+        got = np.asarray(jax.jit(lambda it: display_warp.warp_to_screen_sq(
+            it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+            g.dv, g.scale))(inter))
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    # one bf16 table ulp on display-range values + f16-vs-bf16 combine
+    np.testing.assert_allclose(got, ref, atol=6e-3)
+    # the FAST branch must have run: its bf16 table rounds values the
+    # f16 reference keeps (bit-equality would mean the lax.cond fell back)
+    assert np.any(got != ref)
+    # the ok mask must agree exactly (the slope grid is built from the
+    # image corners, so at this focal every pixel lands inside: no bg)
+    np.testing.assert_array_equal(got[..., 3] == 0.0, ref[..., 3] == 0.0)
+
+
+def test_superquad_warp_wide_fov_falls_back(scene, monkeypatch):
+    """A wide-FOV pose (grazing frustum corner: the slope-map pixel
+    derivative diverges, quads stretch past the 4x4 cell window) must
+    take the lax.cond fallback inside warp_to_screen_sq and match the
+    reference quad-gather warp EXACTLY (same code path)."""
+    import jax
+    from volrend_tpu.ops import display_warp, pallas_slab
+    dev, grid = scene
+    W = H = 200
+    gi = 96
+    back = np.asarray((1.0, 0.25, 0.35))
+    back /= np.linalg.norm(back)
+    # fx=45 at W=200: FOV ~132 deg, ~2% of quads stretch past the window
+    cam = Camera.from_vectors(center=tuple(2.5 * back), v_back=tuple(back),
+                              v_world_up=(0.0, 0.0, 1.0), width=W,
+                              height=H, fx=45.0)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    g = slab_render.FrameGeom(grid, jnp.asarray(cam.transform), cam.fx,
+                              cam.fy, perm, flip, W, H, opt, gi)
+    rng = np.random.default_rng(7)
+    inter = jnp.asarray(rng.uniform(0.0, 1.0, (gi, gi, 4)), jnp.float32)
+    ref = np.asarray(jax.jit(lambda it: slab_render._warp_to_screen_ref(
+        it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+        g.dv, g.scale))(inter))
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        got = np.asarray(jax.jit(lambda it: display_warp.warp_to_screen_sq(
+            it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+            g.dv, g.scale))(inter))
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_superquad_warp_ndc(monkeypatch):
+    """Superquad warp on an NDC tree: the per-subpixel world2ndc slope
+    map must match the reference warp's per-pixel route."""
+    import jax
+    from volrend_tpu.ops import display_warp, pallas_slab
+    from volrend_tpu.models.n3tree import NdcConfig
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=11,
+                          sigma_scale=40.0)
+    tree.use_ndc = True
+    tree.ndc = NdcConfig(width=200.0, height=200.0, focal=120.0)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    W = H = 200
+    gi = 96
+    cam = Camera.from_vectors(center=(0.0, 0.0, 0.2),
+                              v_back=(0.05, 0.02, 1.0),
+                              v_world_up=(0.0, 1.0, 0.0),
+                              width=W, height=H, fx=120.0)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    assert np.isfinite(slope)
+    g = slab_render.FrameGeom(grid, jnp.asarray(cam.transform), cam.fx,
+                              cam.fy, perm, flip, W, H, opt, gi)
+    rng = np.random.default_rng(13)
+    inter = jnp.asarray(rng.uniform(0.0, 1.0, (gi, gi, 4)), jnp.float32)
+
+    ref = np.asarray(jax.jit(lambda it: slab_render._warp_to_screen(
+        it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+        g.dv, g.scale, ndc=grid.ndc, origin=g.origin_w))(inter))
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        got = np.asarray(jax.jit(lambda it: display_warp.warp_to_screen_sq(
+            it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+            g.dv, g.scale, ndc=grid.ndc, origin=g.origin_w))(inter))
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    np.testing.assert_allclose(got, ref, atol=6e-3)

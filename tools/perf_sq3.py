@@ -132,7 +132,7 @@ def superquad_warp(inter, gg, grid, perm, W, H, gi, opt, interpret):
     Y0 = jnp.clip(jnp.floor(jnp.min(gys, 0)).astype(jnp.int32), 0, gi - 4)
     X0 = jnp.clip(jnp.floor(jnp.min(gxs, 0)).astype(jnp.int32), 0, gi - 4)
 
-    it16 = inter.astype(jnp.float16)
+    it16 = inter.astype(jnp.bfloat16)   # Mosaic has no f16; bf16 rows
     qd = jnp.concatenate([
         it16[:-1, :-1], it16[:-1, 1:], it16[1:, :-1], it16[1:, 1:]], -1)
     tbl = jnp.concatenate([

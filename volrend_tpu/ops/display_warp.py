@@ -1,0 +1,324 @@
+"""Superquad display warp: the fast projective screen resample.
+
+The display path's final step warps the (gi, gi, 4) intermediate slope-grid
+image to the (H, W, 4) screen with a projective bilinear resample
+(slab_render._warp_to_screen). Profiling the reference path in situ
+(24-pose lax.map, jax.profiler) shows ~1.8 ms/frame at 800^2/gi=448 on
+v5e: a 640k-row quad gather (~1.2 ms — XLA gathers are row-rate bound at
+~450-530 Mrow/s regardless of row width, tools/perf_rows.py) plus layout
+copies. This module rebuilds the warp around three measured facts:
+
+1. **4x fewer gather rows**: gather one 128-byte row per 2x2 SCREEN pixel
+   block — each row packs the 4x4 intermediate-cell window
+   [Y0..Y0+3, X0..X0+3] covering all four subpixels' bilinear footprints
+   (64 bf16 channels). 160k rows gather in ~0.2 ms.
+2. **The row table must be built without XLA minor-dim concats** (those
+   cost ~1.5 ms/frame of 20x-roofline copies; a one-hot conv lowers to a
+   kLoop fusion at ~1.3 ms — both measured, tools/perf_sq4.py). Instead a
+   Pallas kernel emits the 64 shifted planes in PLANAR layout (one
+   dynamic row-block load per color, static subslices — Mosaic crashes
+   on >1 distinct dynamic offset per ref and on lane-dim stacks), and the
+   planar->row-major transpose FOLDS INTO THE GATHER for free (measured:
+   transpose+gather == gather alone). Build+transpose+gather: 0.39
+   ms/frame.
+3. **The final (H, W, 4) interleave must not round-trip XLA transposes**
+   (0.9 ms/frame of layout copies measured). The tent-combine Pallas
+   kernel emits the interleaved screen rows directly: lane placement of
+   (x-subpixel, channel) via one-hot bf16 matmuls on the MXU (lane-dim
+   broadcast+reshape crashes Mosaic; one-hot dot compiles), row
+   placement via sublane broadcast+reshape + parity select.
+
+Numerics: the table and the emit matmuls are bfloat16 (Mosaic has no
+f16), a display ulp coarser than the f16 quad table (2^-8 vs 2^-11 on
+[0,1] display-range values, under the 1/255 display quantum). Tent
+weights reproduce 2-D bilinear EXACTLY while both taps land inside the
+4x4 window. Projective stretch pushes a handful of image-edge quads past
+the window at realistic poses (~3e-5 of an 800^2 bench frame); those
+clamp to the window edge (invisible). A pose that misfits in bulk
+(> 0.1% of quads: wide-FOV/grazing geometry) takes a per-pose lax.cond
+to the reference quad-gather warp instead.
+
+The exact-semantics reference stays slab_render._warp_to_screen_ref (the
+training path and CPU fall back to it); parity is gated in
+tests/test_slab_render.py::test_superquad_warp_matches_reference.
+
+Reference function replaced: the display half of the CUDA composite
+write-out (volrend.cu:152-172) — the reference renders directly in screen
+space so it has no warp; this is the shear-warp factorization's final
+resample.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from volrend_tpu.utils.options import RenderOptions
+
+_F32 = jnp.float32
+
+#: intermediate-row block per build-kernel grid step
+_BH_BUILD = 16
+#: half-res screen-row block per combine-kernel grid step (M dim of the
+#: emit matmuls — keep near 128 so the MXU M-padding waste stays small)
+_BH_COMBINE = 100
+
+
+def usable(width: int, height: int, gi: int) -> bool:
+    """Static gate: the superquad path needs even screen dims, a window
+    margin in the intermediate grid, and sub-cell-per-pixel motion (see
+    module docstring)."""
+    from volrend_tpu.ops import pallas_slab
+    return (width % 2 == 0 and height % 2 == 0 and gi >= 8
+            and gi <= min(width, height) and pallas_slab.available())
+
+
+def _chan(cy: int, cx: int, c: int) -> int:
+    """Packed-table channel of window cell (cy, cx) in [0,4)^2, color c."""
+    a, i = cy // 2, cy % 2
+    b, j = cx // 2, cx % 2
+    return a * 32 + b * 16 + i * 8 + j * 4 + c
+
+
+_ORDER = sorted((_chan(cy, cx, c), cy, cx, c)
+                for cy in range(4) for cx in range(4) for c in range(4))
+
+
+def _interpret() -> bool:
+    from volrend_tpu.ops import pallas_slab
+    return pallas_slab._FORCE_INTERPRET
+
+
+# ---------------------------------------------------------------------------
+# table build: planar shifted planes (Pallas) + transpose folded into gather
+# ---------------------------------------------------------------------------
+
+def _make_build(gi: int, group: int):
+    """Kernel emitting window-table channels [16*group, 16*group+16) in
+    planar (16, rows, gi-3) layout. One dynamic row-block load per color
+    plane, static shifted subslices after (Mosaic compiles exactly this
+    shape of the problem — see module docstring)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    W3 = gi - 3
+    BH = _BH_BUILD
+    nb = -(-W3 // BH)
+
+    def kernel(it_ref, out_ref):
+        i = pl.program_id(0)
+        blk = [it_ref[c, pl.ds(i * BH, BH + 3), :] for c in range(4)]
+        for k in range(16):
+            _, cy, cx, c = _ORDER[group * 16 + k]
+            out_ref[k] = blk[c][cy:cy + BH, cx:cx + W3]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((4, nb * BH + 3, gi), lambda i: (0, 0, 0))],
+        out_specs=pl.BlockSpec((16, BH, W3), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((16, nb * BH, W3), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=_interpret(),
+    ), nb * BH
+
+
+def _build_table(inter, gi: int):
+    """(gi, gi, 4) f32 -> ((gi-3)^2, 64) bf16 window-row table (as the
+    free transpose of the planar Pallas build)."""
+    W3 = gi - 3
+    itp = jnp.transpose(inter, (2, 0, 1)).astype(jnp.bfloat16)
+    parts = []
+    for g in range(4):
+        call, Hp = _make_build(gi, g)
+        if g == 0:
+            itp = jnp.pad(itp, ((0, 0), (0, Hp + 3 - gi), (0, 0)))
+        parts.append(call(itp)[:, :W3])
+    tblp = jnp.concatenate(parts, 0).reshape(64, W3 * W3)
+    return jnp.transpose(tblp, (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# tent combine + interleaved screen emit (Pallas)
+# ---------------------------------------------------------------------------
+
+_EMIT_CACHE: dict = {}
+
+
+def _emit_mats(Wh: int) -> np.ndarray:
+    """(8, Wh, 4*2*Wh) one-hot lane-placement matrices: E[q*4+c, w, L] = 1
+    iff L = (2w+q)*4 + c — the dot plane_qc @ E[q*4+c] scatters subpixel
+    q's channel c into its interleaved screen lanes."""
+    key = Wh
+    if key not in _EMIT_CACHE:
+        E = np.zeros((8, Wh, 8 * Wh), np.float32)
+        w = np.arange(Wh)
+        for q in range(2):
+            for c in range(4):
+                E[q * 4 + c, w, (2 * w + q) * 4 + c] = 1.0
+        _EMIT_CACHE[key] = E
+    return _EMIT_CACHE[key]
+
+
+def _make_combine_kernel(BH: int, Wh: int, bg: float):
+    W4 = 8 * Wh
+
+    def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, out_ref):
+        ri = jax.lax.broadcasted_iota(jnp.int32, (2 * BH, W4), 0)
+        out = jnp.zeros((2 * BH, W4), jnp.float32)
+        for p in range(2):
+            half = jnp.zeros((BH, W4), jnp.float32)
+            for q in range(2):
+                s = p * 2 + q
+                # clamp to the window: identity for in-window taps; a
+                # rare misfit quad (projective stretch > 3 cells, image
+                # edges) snaps to the window-edge cell, not losing mass
+                ryv = jnp.clip(ry_ref[s], 0.0, 3.0)
+                rxv = jnp.clip(rx_ref[s], 0.0, 3.0)
+                wy = [jnp.maximum(0.0, 1.0 - jnp.abs(ryv - cy))
+                      for cy in range(4)]
+                wx = [jnp.maximum(0.0, 1.0 - jnp.abs(rxv - cx))
+                      for cx in range(4)]
+                ok = ok_ref[s]
+                rgba = []
+                for c in range(4):
+                    acc = jnp.zeros((BH, Wh), jnp.float32)
+                    for cy in range(4):
+                        for cx in range(4):
+                            acc = acc + (wy[cy] * wx[cx]) * qg_ref[
+                                _chan(cy, cx, c)].astype(jnp.float32)
+                    rgba.append(acc)
+                alpha = rgba[3]
+                for c in range(4):
+                    if c == 3:
+                        plane = jnp.where(ok > 0.5, alpha, 0.0)
+                    else:
+                        plane = jnp.where(
+                            ok > 0.5, rgba[c] + bg * (1.0 - alpha), bg)
+                    # one-hot placement dot, exact in f32: bf16 hi/lo
+                    # split (the MXU is bf16; two passes reconstruct the
+                    # f32 plane, so the only rounding left in the whole
+                    # path is the bf16 table — one display ulp)
+                    hi = plane.astype(jnp.bfloat16)
+                    lo = (plane - hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    for part in (hi, lo):
+                        half = half + jax.lax.dot_general(
+                            part, e_ref[q * 4 + c],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+            # row interleave: sublane expand x2 + parity select
+            rep2 = jnp.broadcast_to(
+                half[:, None, :], (BH, 2, W4)).reshape(2 * BH, W4)
+            out = jnp.where((ri % 2) == p, rep2, out)
+        out_ref[...] = out
+
+    return kernel
+
+
+def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float):
+    """(64, Hh, Wh) gathered window planes + per-subpixel positions ->
+    (2*Hh, 8*Wh) f32 interleaved screen rows (reshape to (H, W, 4))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    # Mosaic block rule: second-minor block dim must be a multiple of 8
+    # or the full dimension; keep M near 128 for the emit matmuls
+    cands = [b for b in range(8, min(128, Hh) + 1, 8) if Hh % b == 0]
+    BH = max(cands) if cands else Hh
+    W4 = 8 * Wh
+    E = jnp.asarray(_emit_mats(Wh), jnp.bfloat16)
+    kern = _make_combine_kernel(BH, Wh, bg)
+    return pl.pallas_call(
+        kern,
+        grid=(Hh // BH,),
+        in_specs=[
+            pl.BlockSpec((64, BH, Wh), lambda i: (0, i, 0)),
+            pl.BlockSpec((4, BH, Wh), lambda i: (0, i, 0)),
+            pl.BlockSpec((4, BH, Wh), lambda i: (0, i, 0)),
+            pl.BlockSpec((4, BH, Wh), lambda i: (0, i, 0)),
+            pl.BlockSpec((8, Wh, W4), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((2 * BH, W4), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((2 * Hh, W4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qgp, ry, rx, okm, E)
+
+
+def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
+                      width: int, height: int, gi: int,
+                      perm: Tuple[int, int, int],
+                      u0, du, v0, dv, scale,
+                      ndc: Optional[tuple] = None, origin=None):
+    """Drop-in twin of slab_render._warp_to_screen (display path): warp the
+    (gi, gi, 4) intermediate image to (H, W, 4) + background composite."""
+    from volrend_tpu.ops.slab_render import _slopes_from_dirs
+    Hh, Wh = height // 2, width // 2
+
+    def sub_slopes(p: int, q: int):
+        xs = (jnp.arange(Wh, dtype=_F32) * 2 + q - 0.5 * width) / fx
+        ys = -(jnp.arange(Hh, dtype=_F32) * 2 + p - 0.5 * height) / fy
+        d_cam = jnp.stack([
+            jnp.broadcast_to(xs[None, :], (Hh, Wh)),
+            jnp.broadcast_to(ys[:, None], (Hh, Wh)),
+            -jnp.ones((Hh, Wh), _F32)], -1)
+        d_world = jnp.einsum("hwc,kc->hwk", d_cam, R)
+        if ndc is not None:
+            from volrend_tpu.ops.render_jax import world2ndc
+            ndir, _ = world2ndc(
+                ndc, d_world, jnp.broadcast_to(origin, d_world.shape))
+            d_tree = ndir * scale
+        else:
+            d_tree = d_world * scale
+        us, vs = _slopes_from_dirs(d_tree, perm)
+        gy = (us - u0) / du
+        gx = (vs - v0) / dv
+        ok = (gy >= 0) & (gy <= gi - 1) & (gx >= 0) & (gx <= gi - 1)
+        return (jnp.clip(gy, 0.0, gi - 1 - 1e-6),
+                jnp.clip(gx, 0.0, gi - 1 - 1e-6),
+                ok.astype(_F32))
+
+    subs = [sub_slopes(p, q) for p in range(2) for q in range(2)]
+    gys = jnp.stack([s[0] for s in subs])           # (4, Hh, Wh)
+    gxs = jnp.stack([s[1] for s in subs])
+    okm = jnp.stack([s[2] for s in subs])
+    # window corner from the OK subpixels only: at the image border a
+    # clipped off-grid subpixel would otherwise drag the shared window
+    # away from its in-grid quad-mates (their taps fall off the window)
+    big = _F32(1e9)
+    inb = okm > 0.5
+    any_in = jnp.any(inb, 0)
+    ymin = jnp.where(any_in, jnp.min(jnp.where(inb, gys, big), 0), 0.0)
+    xmin = jnp.where(any_in, jnp.min(jnp.where(inb, gxs, big), 0), 0.0)
+    Y0 = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, gi - 4)
+    X0 = jnp.clip(jnp.floor(xmin).astype(jnp.int32), 0, gi - 4)
+
+    # bulk-misfit gate (see module docstring)
+    ymax = jnp.where(any_in, jnp.max(jnp.where(inb, gys, -big), 0), 0.0)
+    xmax = jnp.where(any_in, jnp.max(jnp.where(inb, gxs, -big), 0), 0.0)
+    misfit = ((ymax >= jnp.floor(ymin) + 3.0)
+              | (xmax >= jnp.floor(xmin) + 3.0))
+    fits = jnp.mean(misfit.astype(_F32)) < 1e-3
+
+    def fast(it_in):
+        tbl = _build_table(it_in, gi)
+        qg = tbl[Y0 * (gi - 3) + X0]                # (Hh, Wh, 64)
+        qgp = jnp.transpose(qg, (2, 0, 1))          # planar for the kernel
+        ry = gys - Y0.astype(_F32)[None]
+        rx = gxs - X0.astype(_F32)[None]
+        out = _combine_emit(qgp, ry, rx, okm, Hh, Wh,
+                            float(opt.background_brightness))
+        return out.reshape(height, width, 4)
+
+    def slow(it_in):
+        from volrend_tpu.ops.slab_render import _warp_to_screen_ref
+        return _warp_to_screen_ref(it_in, opt, R, fx, fy, width, height,
+                                   gi, perm, u0, du, v0, dv, scale,
+                                   precise=False, ndc=ndc, origin=origin)
+
+    return jax.lax.cond(fits, fast, slow, inter)

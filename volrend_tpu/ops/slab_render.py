@@ -748,6 +748,28 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
 
     precise: keep the quad table in f32 (training path — the f16 display
     shortcut quantizes outputs below typical gradient-step sizes)."""
+    if not precise:
+        # display path on TPU: 2x2-screen-pixel superquad gather (4x fewer
+        # gather rows) + Pallas tent-combine — 0.51 vs 1.71 ms/frame at
+        # 800^2 (ops/display_warp.py; parity gated vs this reference path).
+        # Falls back to this reference warp per-pose (lax.cond) when a
+        # wide-FOV/grazing pose stretches a quad past the 4x4 cell window.
+        from volrend_tpu.ops import display_warp
+        if display_warp.usable(width, height, gi):
+            return display_warp.warp_to_screen_sq(
+                inter, opt, R, fx, fy, width, height, gi, perm,
+                u0, du, v0, dv, scale, ndc=ndc, origin=origin)
+    return _warp_to_screen_ref(inter, opt, R, fx, fy, width, height, gi,
+                               perm, u0, du, v0, dv, scale,
+                               precise=precise, ndc=ndc, origin=origin)
+
+
+def _warp_to_screen_ref(inter, opt: RenderOptions, R, fx, fy,
+                        width: int, height: int, gi: int, perm,
+                        u0, du, v0, dv, scale, precise: bool = False,
+                        ndc=None, origin=None):
+    """Reference implementation: per-pixel quad-row gather (the exact
+    display semantics; the superquad fast path is parity-gated vs this)."""
     # ---- projective warp to screen (bilinear) -----------------------------
     px = (jnp.arange(width, dtype=_F32) - 0.5 * width) / fx
     py = -(jnp.arange(height, dtype=_F32) - 0.5 * height) / fy
