@@ -481,3 +481,21 @@ def test_info_reports_backend(server):
     _get(base + "/frame?w=32&h=32")
     info = json.loads(_get(base + "/info"))
     assert info["backend"] == "exact"   # fixture runs use_slab=False
+
+
+def test_slab_backend_with_visible_mesh():
+    """VERDICT r2 item 1 gate: a visible mesh (+ show_grid wireframe) must
+    STAY on the slab fast path — /info reports slab-*, not 'exact' (the
+    reference composites meshes inside the render kernel at full speed,
+    volrend.cu:143-163)."""
+    from volrend_tpu.models.mesh import Mesh
+    from volrend_tpu.web.server import ViewerState
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                          sigma_scale=60.0)
+    cube = Mesh.Cube((1.0, 0.2, 0.2))
+    cube.scale = 0.4
+    state = ViewerState(tree, [cube], use_slab=True)
+    state.opt = state.opt.replace(show_grid=True)
+    png = state.render(64, 64)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert state.last_backend.startswith("slab-"), state.last_backend

@@ -164,10 +164,15 @@ def _emit_mats(Wh: int) -> np.ndarray:
     return _EMIT_CACHE[key]
 
 
-def _make_combine_kernel(BH: int, Wh: int, bg: float):
+def _make_combine_kernel(BH: int, Wh: int, bg: float,
+                         has_mesh: bool = False):
     W4 = 8 * Wh
 
-    def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, out_ref):
+    def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, *rest):
+        if has_mesh:
+            mp_ref, out_ref = rest
+        else:
+            out_ref, = rest
         ri = jax.lax.broadcasted_iota(jnp.int32, (2 * BH, W4), 0)
         out = jnp.zeros((2 * BH, W4), jnp.float32)
         for p in range(2):
@@ -193,12 +198,24 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float):
                                 _chan(cy, cx, c)].astype(jnp.float32)
                     rgba.append(acc)
                 alpha = rgba[3]
+                if has_mesh:
+                    # per-pixel background = mesh color where the mesh
+                    # pass hit; alpha forced 1 on mesh pixels
+                    # (volrend.cu:152-163 / render_jax tmax_bg contract)
+                    hit = mp_ref[s * 4 + 3]
                 for c in range(4):
                     if c == 3:
                         plane = jnp.where(ok > 0.5, alpha, 0.0)
+                        if has_mesh:
+                            plane = jnp.where(hit > 0.5, 1.0, plane)
                     else:
+                        if has_mesh:
+                            bgc = jnp.where(hit > 0.5, mp_ref[s * 4 + c],
+                                            bg)
+                        else:
+                            bgc = bg
                         plane = jnp.where(
-                            ok > 0.5, rgba[c] + bg * (1.0 - alpha), bg)
+                            ok > 0.5, rgba[c] + bgc * (1.0 - alpha), bgc)
                     # one-hot placement dot, exact in f32: bf16 hi/lo
                     # split (the MXU is bf16; two passes reconstruct the
                     # f32 plane, so the only rounding left in the whole
@@ -220,9 +237,12 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float):
     return kernel
 
 
-def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float):
+def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
+                  mesh_planes=None):
     """(64, Hh, Wh) gathered window planes + per-subpixel positions ->
-    (2*Hh, 8*Wh) f32 interleaved screen rows (reshape to (H, W, 4))."""
+    (2*Hh, 8*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
+    mesh_planes: optional (16, Hh, Wh) subpixel-split mesh buffers
+    [s*4 + (r, g, b, hit)] for per-pixel background compositing."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     # Mosaic block rule: second-minor block dim must be a multiple of 8
@@ -231,30 +251,33 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float):
     BH = max(cands) if cands else Hh
     W4 = 8 * Wh
     E = jnp.asarray(_emit_mats(Wh), jnp.bfloat16)
-    kern = _make_combine_kernel(BH, Wh, bg)
+    kern = _make_combine_kernel(BH, Wh, bg,
+                                has_mesh=mesh_planes is not None)
+    blk = lambda n: pl.BlockSpec((n, BH, Wh), lambda i: (0, i, 0))
+    in_specs = [blk(64), blk(4), blk(4), blk(4),
+                pl.BlockSpec((8, Wh, W4), lambda i: (0, 0, 0))]
+    args = [qgp, ry, rx, okm, E]
+    if mesh_planes is not None:
+        in_specs.append(blk(16))
+        args.append(mesh_planes)
     return pl.pallas_call(
         kern,
         grid=(Hh // BH,),
-        in_specs=[
-            pl.BlockSpec((64, BH, Wh), lambda i: (0, i, 0)),
-            pl.BlockSpec((4, BH, Wh), lambda i: (0, i, 0)),
-            pl.BlockSpec((4, BH, Wh), lambda i: (0, i, 0)),
-            pl.BlockSpec((4, BH, Wh), lambda i: (0, i, 0)),
-            pl.BlockSpec((8, Wh, W4), lambda i: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((2 * BH, W4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((2 * Hh, W4), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qgp, ry, rx, okm, E)
+    )(*args)
 
 
 def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                       width: int, height: int, gi: int,
                       perm: Tuple[int, int, int],
                       u0, du, v0, dv, scale,
-                      ndc: Optional[tuple] = None, origin=None):
+                      ndc: Optional[tuple] = None, origin=None,
+                      bg_pix=None):
     """Drop-in twin of slab_render._warp_to_screen (display path): warp the
     (gi, gi, 4) intermediate image to (H, W, 4) + background composite."""
     from volrend_tpu.ops.slab_render import _slopes_from_dirs
@@ -305,6 +328,16 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
               | (xmax >= jnp.floor(xmin) + 3.0))
     fits = jnp.mean(misfit.astype(_F32)) < 1e-3
 
+    mesh_planes = None
+    if bg_pix is not None:
+        mesh_rgb, hit = bg_pix
+        mrgba = jnp.concatenate(
+            [jnp.asarray(mesh_rgb, _F32),
+             hit.astype(_F32)[..., None]], -1)       # (H, W, 4)
+        mesh_planes = jnp.stack(
+            [mrgba[p::2, q::2, c]
+             for p in range(2) for q in range(2) for c in range(4)], 0)
+
     def fast(it_in):
         tbl = _build_table(it_in, gi)
         qg = tbl[Y0 * (gi - 3) + X0]                # (Hh, Wh, 64)
@@ -312,13 +345,15 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
         ry = gys - Y0.astype(_F32)[None]
         rx = gxs - X0.astype(_F32)[None]
         out = _combine_emit(qgp, ry, rx, okm, Hh, Wh,
-                            float(opt.background_brightness))
+                            float(opt.background_brightness),
+                            mesh_planes=mesh_planes)
         return out.reshape(height, width, 4)
 
     def slow(it_in):
         from volrend_tpu.ops.slab_render import _warp_to_screen_ref
         return _warp_to_screen_ref(it_in, opt, R, fx, fy, width, height,
                                    gi, perm, u0, du, v0, dv, scale,
-                                   precise=False, ndc=ndc, origin=origin)
+                                   precise=False, ndc=ndc, origin=origin,
+                                   bg_pix=bg_pix)
 
     return jax.lax.cond(fits, fast, slow, inter)

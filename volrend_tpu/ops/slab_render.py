@@ -36,7 +36,7 @@ T2 renderer.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -223,7 +223,8 @@ def _slopes_from_dirs(d_tree, perm):
 def render_frame(grid: DenseGrid, transform, fx, fy,
                  perm: Tuple[int, int, int], flip: bool,
                  width: int, height: int, opt: RenderOptions,
-                 gi: int = 512, payload=None):
+                 gi: int = 512, payload=None,
+                 mesh_dist=None, mesh_rgb=None):
     """Render one pinhole frame; returns (H, W, 4) float32 RGBA.
 
     transform: (3,4) C2W [right|up|back|center]; fx/fy scalars (traced ok).
@@ -231,12 +232,20 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
     payload: optional pre-permuted slab-major payload (prepare_payload
     called with the SAME perm) — skips the in-call permute for repeated
     renders (viewer frames).
+    mesh_dist/mesh_rgb: optional (H, W) euclidean mesh distance + (H, W, 3)
+    mesh color (ops/rasterize.py buffers) — mesh/volume compositing on the
+    fast path (march clipped at the mesh surface, remaining transmittance
+    composited over the mesh color; volrend.cu:143-163 contract). World
+    trees only.
     """
     use_pallas = _pallas_ok(grid, opt)
     gdata = ((payload, None) if payload is not None and use_pallas
              else _permuted_grid(grid, perm, use_pallas))
+    mesh = (None if mesh_dist is None
+            else (jnp.asarray(mesh_dist, _F32), jnp.asarray(mesh_rgb, _F32)))
     return _render_frame_impl(grid, gdata, transform, fx, fy, perm, flip,
-                              width, height, opt, gi, use_pallas)
+                              width, height, opt, gi, use_pallas,
+                              mesh=mesh)
 
 
 def prepare_payload(grid: DenseGrid, perm: Tuple[int, int, int],
@@ -317,7 +326,7 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
                            u0, du, v0, dv, fx, fy,
                            perm: Tuple[int, int, int], flip: bool,
                            width: int, height: int, opt: RenderOptions,
-                           gi: int, origin=None):
+                           gi: int, origin=None, mesh=None):
     """March one pose through the fused kernel, then finalize + warp
     (shared by the single-pose and batched paths)."""
     from volrend_tpu.ops import pallas_slab
@@ -340,7 +349,7 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
     stopped = T < _F32(opt.stop_thresh)
     return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
                               width, height, gi, perm, u0, du, v0, dv,
-                              grid.scale, origin=origin)
+                              grid.scale, origin=origin, mesh=mesh)
 
 
 def _bbox_full(opt: RenderOptions) -> bool:
@@ -395,11 +404,21 @@ def _permuted_grid(grid: DenseGrid, perm, use_pallas: bool):
 class FrameGeom:
     """Per-frame slab geometry (slope grid, z intervals, camera in tree
     coords). Shared by the XLA march, the Pallas march, and the
-    differentiable training march (ops/slab_grad.py)."""
+    differentiable training march (ops/slab_grad.py).
+
+    mesh_dist: optional (H, W) f32 euclidean camera distance of the
+    nearest rasterized mesh fragment (inf where none — ops/rasterize.py
+    MeshBuffers.dist). When given (world trees only), each intermediate
+    pixel's live z interval is clipped at the mesh surface, implementing
+    the reference's mesh/volume compositing contract on the FAST path:
+    the march stops at the mesh distance (volrend.cu:143-146) with
+    sub-slab precision (the kernels' fractional boundary-slab overlap
+    uses zbounds directly)."""
 
     def __init__(self, grid: DenseGrid, transform, fx, fy,
                  perm: Tuple[int, int, int], flip: bool,
-                 width: int, height: int, opt: RenderOptions, gi: int):
+                 width: int, height: int, opt: RenderOptions, gi: int,
+                 mesh_dist=None):
         G = grid.G
         transform = jnp.asarray(transform, _F32).reshape(3, 4)
         self.R = transform[:, :3]
@@ -533,7 +552,20 @@ class FrameGeom:
                 z_hi_pix = jnp.minimum(z_hi_pix, cz)
             else:
                 z_lo_pix = jnp.maximum(z_lo_pix, cz)
+
+        if mesh_dist is not None:
+            if ndc is not None:
+                raise ValueError("mesh compositing on the slab path "
+                                 "supports world trees only (NDC poses "
+                                 "fall back to the exact renderer)")
+            z_mesh = self._mesh_zgrid(mesh_dist, width, height, gi, perm)
+            if flip:
+                z_lo_pix = jnp.maximum(z_lo_pix, z_mesh)
+            else:
+                z_hi_pix = jnp.minimum(z_hi_pix, z_mesh)
         self.z_lo_pix, self.z_hi_pix = z_lo_pix, z_hi_pix
+
+        self.mesh_clipped = mesh_dist is not None
 
         # static march-ordered slab list with empty slabs culled (occupancy
         # is bake-time metadata), then skip leading slabs with no pixel live
@@ -552,17 +584,63 @@ class FrameGeom:
                 jnp.where(z_lo_pix <= z_hi_pix, z_lo_pix, big))
             self.k0 = jnp.sum((zs_arr < z_start - h).astype(jnp.int32))
 
+    def _mesh_zgrid(self, mesh_dist, width: int, height: int, gi: int,
+                    perm: Tuple[int, int, int]):
+        """Inverse-warp the screen mesh-distance buffer into the slope
+        grid and convert euclidean camera distance to slab-axis z
+        (z = cz + sgn * d / |w(u,v)|, w = world dir per unit slab z).
+
+        The mesh distance is nearest-sampled at each intermediate pixel's
+        screen position (<= 1-screen-pixel silhouette quantization — the
+        same order as the warp's own resampling). The (gi^2)-point lookup
+        packs 8 distances per 32-byte row + a one-hot select: XLA gathers
+        of 4-byte rows run ~5x slower than 32-byte rows (CLAUDE.md)."""
+        uy, ux, sgn = self.uy, self.ux, self.sgn
+        inv_scale = 1.0 / self.scale
+        d_perm = [jnp.broadcast_to(sgn, (gi, gi)),
+                  jnp.broadcast_to(sgn * uy[:, None], (gi, gi)),
+                  jnp.broadcast_to(sgn * ux[None, :], (gi, gi))]
+        d_tree = [None] * 3
+        for i in range(3):
+            d_tree[perm[i]] = d_perm[i]
+        d_world = jnp.stack(
+            [d_tree[a] * inv_scale[a] for a in range(3)], -1)
+        d_cam = jnp.einsum("yxk,kc->yxc", d_world, self.R)  # R^T d
+        front = d_cam[..., 2] < -1e-9
+        dz = jnp.where(front, d_cam[..., 2], -1e-9)
+        sx = (d_cam[..., 0] / -dz) * self.fx + 0.5 * width
+        sy = -(d_cam[..., 1] / -dz) * self.fy + 0.5 * height
+        jx = jnp.round(sx).astype(jnp.int32)
+        jy = jnp.round(sy).astype(jnp.int32)
+        valid = (front & (jx >= 0) & (jx < width)
+                 & (jy >= 0) & (jy < height))
+        flat = (jnp.clip(jy, 0, height - 1) * width
+                + jnp.clip(jx, 0, width - 1))
+        npx = height * width
+        pad = (-npx) % 8
+        table = jnp.concatenate(
+            [jnp.asarray(mesh_dist, _F32).reshape(-1),
+             jnp.full((pad,), jnp.inf, _F32)]).reshape(-1, 8)
+        rows = table[flat // 8]                       # (gi, gi, 8)
+        sel = jax.nn.one_hot(flat % 8, 8, dtype=_F32)
+        dist = jnp.sum(rows * sel, -1)
+        dist = jnp.where(valid, dist, jnp.inf)
+        L = jnp.sqrt(inv_scale[perm[0]] ** 2
+                     + (uy[:, None] * inv_scale[perm[1]]) ** 2
+                     + (ux[None, :] * inv_scale[perm[2]]) ** 2)
+        return self.cz + sgn * dist / L
+
 
 def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
                        perm: Tuple[int, int, int], flip: bool,
                        width: int, height: int, opt: RenderOptions,
-                       gi: int, use_pallas: bool = False):
+                       gi: int, use_pallas: bool = False, mesh=None):
     G = grid.G
     D = grid.data_dim
     bd = grid.basis_dim
 
     g = FrameGeom(grid, transform, fx, fy, perm, flip, width, height, opt,
-                  gi)
+                  gi, mesh_dist=None if mesh is None else mesh[0])
     R, fx, fy = g.R, g.fx, g.fy
     scale = g.scale
     cz, cy, cx = g.cz, g.cy, g.cx
@@ -579,7 +657,7 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         params, zb = _pallas_frame_fields(grid, g, perm, flip, opt)
         return _pallas_march_finalize(
             grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
-            flip, width, height, opt, gi, origin=g.origin_w)
+            flip, width, height, opt, gi, origin=g.origin_w, mesh=mesh)
 
     # Key restructuring for TPU dataflow: shade (SH -> rgb) *per voxel in
     # slab layout* first, then resample only 4 channels [sigma, sigma*rgb]
@@ -715,12 +793,12 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         _, acc, T, stopped, _ = init
     return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
                               width, height, gi, perm, u0, du, v0, dv, scale,
-                              origin=g.origin_w)
+                              origin=g.origin_w, mesh=mesh)
 
 
 def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
                        width: int, height: int, gi: int, perm,
-                       u0, du, v0, dv, scale, origin=None):
+                       u0, du, v0, dv, scale, origin=None, mesh=None):
     # ---- finalize (rt_core.cuh:176-194 semantics) -------------------------
     renorm = stopped & opt.renormalize
     if opt.render_depth:
@@ -733,21 +811,28 @@ def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
                               acc)
         inter_alpha = jnp.where(stopped, 1.0, 1.0 - T)
     inter = jnp.concatenate([inter_rgb, inter_alpha[..., None]], -1)
+    bg_pix = None
+    if mesh is not None:
+        mesh_dist, mesh_rgb = mesh
+        bg_pix = (mesh_rgb, jnp.isfinite(mesh_dist))
     return _warp_to_screen(inter, opt, R, fx, fy, width, height, gi, perm,
                            u0, du, v0, dv, scale, ndc=grid.ndc,
-                           origin=origin)
+                           origin=origin, bg_pix=bg_pix)
 
 
 def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
                     width: int, height: int, gi: int, perm,
                     u0, du, v0, dv, scale, precise: bool = False,
-                    ndc=None, origin=None):
+                    ndc=None, origin=None, bg_pix=None):
     """Projective bilinear warp of the (gi, gi, 4) intermediate image to the
     (height, width, 4) screen, plus background compositing. Linear in
     ``inter`` (autodiff-friendly: gathers transpose to scatters).
 
     precise: keep the quad table in f32 (training path — the f16 display
-    shortcut quantizes outputs below typical gradient-step sizes)."""
+    shortcut quantizes outputs below typical gradient-step sizes).
+    bg_pix: optional (mesh_rgb (H, W, 3), hit (H, W) bool) per-pixel
+    background — mesh compositing (remaining transmittance over the mesh
+    color; alpha forced 1 on mesh pixels, volrend.cu:152-163)."""
     if not precise:
         # display path on TPU: 2x2-screen-pixel superquad gather (4x fewer
         # gather rows) + Pallas tent-combine — 0.51 vs 1.71 ms/frame at
@@ -758,16 +843,18 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
         if display_warp.usable(width, height, gi):
             return display_warp.warp_to_screen_sq(
                 inter, opt, R, fx, fy, width, height, gi, perm,
-                u0, du, v0, dv, scale, ndc=ndc, origin=origin)
+                u0, du, v0, dv, scale, ndc=ndc, origin=origin,
+                bg_pix=bg_pix)
     return _warp_to_screen_ref(inter, opt, R, fx, fy, width, height, gi,
                                perm, u0, du, v0, dv, scale,
-                               precise=precise, ndc=ndc, origin=origin)
+                               precise=precise, ndc=ndc, origin=origin,
+                               bg_pix=bg_pix)
 
 
 def _warp_to_screen_ref(inter, opt: RenderOptions, R, fx, fy,
                         width: int, height: int, gi: int, perm,
                         u0, du, v0, dv, scale, precise: bool = False,
-                        ndc=None, origin=None):
+                        ndc=None, origin=None, bg_pix=None):
     """Reference implementation: per-pixel quad-row gather (the exact
     display semantics; the superquad fast path is parity-gated vs this)."""
     # ---- projective warp to screen (bilinear) -----------------------------
@@ -864,9 +951,19 @@ def _warp_to_screen_ref(inter, opt: RenderOptions, R, fx, fy,
            + (v10 * (1 - fx_) + v11 * fx_) * fy_)
     out = jnp.where(ok[..., None], out, 0.0).astype(_F32)
 
-    rgb = out[..., :3] + _F32(opt.background_brightness) * (
-        1.0 - out[..., 3:4])
-    return jnp.concatenate([rgb, out[..., 3:4]], -1)
+    bg = _F32(opt.background_brightness)
+    if bg_pix is None:
+        rgb = out[..., :3] + bg * (1.0 - out[..., 3:4])
+        alpha = out[..., 3:4]
+    else:
+        # mesh compositing: remaining transmittance over the mesh color,
+        # alpha forced 1 on mesh pixels (volrend.cu:152-163 / the
+        # render_jax tmax_bg+bg_rgb contract)
+        mesh_rgb, hit = bg_pix
+        bgp = jnp.where(hit[..., None], mesh_rgb, bg)
+        rgb = out[..., :3] + bgp * (1.0 - out[..., 3:4])
+        alpha = jnp.where(hit[..., None], 1.0, out[..., 3:4])
+    return jnp.concatenate([rgb, alpha], -1)
 
 
 def _rodrigues(rot_dirs) -> Optional[np.ndarray]:
@@ -875,19 +972,41 @@ def _rodrigues(rot_dirs) -> Optional[np.ndarray]:
 
 
 def render_image(grid: DenseGrid, cam, opt: RenderOptions,
-                 gi: int = 512, payload_cache: Optional[dict] = None
-                 ) -> np.ndarray:
+                 gi: int = 512, payload_cache: Optional[dict] = None,
+                 meshes: Optional[Sequence] = None,
+                 host_tree=None) -> np.ndarray:
     """Camera-object convenience wrapper; returns (H, W, 4) on host.
 
     payload_cache: optional mutable dict keyed by the full perm tuple —
     pre-permuted payloads are built lazily and reused across calls, so an
     interactive caller (the viewer) doesn't re-permute the grid per frame.
+    meshes: optional mesh overlays (models/mesh.py) composited on the fast
+    path (world trees only; rasterized host-side like the reference's GL
+    mesh pass, cuda_renderer.cpp:103-112). host_tree: the source N3Tree,
+    for the opt.show_grid wireframe overlay.
     """
     perm, flip, slope = choose_axis(
         grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
     if not np.isfinite(slope):
         raise ValueError("pose not renderable by the slab path "
                          "(rays straddle the slab axis); use render_jax")
+    mesh_dist = mesh_rgb = None
+    mesh_list = list(meshes) if meshes else []
+    if opt.show_grid and host_tree is not None:
+        from volrend_tpu.ops.composite import wireframe_mesh
+        mesh_list.append(wireframe_mesh(host_tree, opt.grid_max_depth))
+    if mesh_list:
+        if grid.ndc is not None:
+            raise ValueError("mesh compositing on the slab path supports "
+                             "world trees only; use the exact renderer")
+        from volrend_tpu.ops.rasterize import rasterize_meshes
+        buf = rasterize_meshes(mesh_list, cam)
+        if np.isfinite(buf.dist).any():
+            # f16 halves the host->device upload (the axon tunnel moves
+            # ~6-20 MB/s; display-range color and ~1e-3-relative distance
+            # lose nothing visible). render_frame casts back to f32.
+            mesh_dist = buf.dist.astype(np.float16)
+            mesh_rgb = buf.color.astype(np.float16)
     payload = None
     if payload_cache is not None:
         if perm not in payload_cache:
@@ -895,5 +1014,6 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
         payload = payload_cache[perm]
     out = render_frame(grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
                        perm, flip, cam.width, cam.height, opt, gi,
-                       payload=payload)
+                       payload=payload, mesh_dist=mesh_dist,
+                       mesh_rgb=mesh_rgb)
     return np.asarray(out)

@@ -512,13 +512,20 @@ class ViewerState:
         any_mesh = any(m.visible for m in self.meshes) or \
             self.opt.show_grid
         img = None
-        if self.grid is not None and not any_mesh:
+        if self.grid is not None and \
+                not (any_mesh and self.grid.ndc is not None):
+            # meshes stay on the fast path too (rasterized host-side,
+            # march clipped at the mesh distance, transmittance
+            # composited over mesh color — ops/slab_render mesh args);
+            # only NDC trees with meshes need the exact renderer
             from volrend_tpu.ops import slab_render
             if slab_render.compatible(self.grid, self.cam.transform,
                                       self.cam.fx, self.cam.fy, w, h):
                 img = slab_render.render_image(
                     self.grid, self.cam, self.opt, gi=512,
-                    payload_cache=self._payload_cache)
+                    payload_cache=self._payload_cache,
+                    meshes=self.meshes if any_mesh else None,
+                    host_tree=self.tree)
                 self.last_backend = (
                     "slab-pallas"
                     if slab_render._pallas_ok(self.grid, self.opt)
