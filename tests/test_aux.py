@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from volrend_tpu.parallel.work_queue import RenderQueue
 from volrend_tpu.utils.profiling import FrameTimer, Metrics, fps_counter
@@ -90,3 +91,56 @@ def test_multihost_single_process():
     assert multihost.pose_shard(5) == [0, 1, 2, 3, 4]
     mesh = multihost.global_mesh()
     assert mesh.shape["rays"] >= 1
+
+
+def test_render_queue_pipelined_overlap(tmp_path):
+    """Two-phase run (PP overlap): batch k+1's render_batch must be
+    DISPATCHED before batch k's finish runs, and items are marked done
+    only after their finish (resume safety)."""
+    out = str(tmp_path / "q3")
+    q = RenderQueue(out, n_items=6)
+    events = []
+
+    def render(batch):
+        events.append(("dispatch", tuple(batch)))
+        return {"ids": tuple(batch)}
+
+    def finish(batch, result):
+        assert result["ids"] == tuple(batch)
+        events.append(("finish", tuple(batch)))
+
+    n = q.run(render, batch_size=2, finish=finish)
+    assert n == 6
+    assert q.pending() == []
+    # pipeline order: dispatch(0,1) dispatch(2,3) finish(0,1)
+    #                 dispatch(4,5) finish(2,3) finish(4,5)
+    assert events == [
+        ("dispatch", (0, 1)), ("dispatch", (2, 3)), ("finish", (0, 1)),
+        ("dispatch", (4, 5)), ("finish", (2, 3)), ("finish", (4, 5)),
+    ]
+
+
+def test_render_queue_pipelined_resume_mid_finish(tmp_path):
+    """A crash between a batch's dispatch and its finish must leave that
+    batch pending on restart (done is only persisted after finish)."""
+    out = str(tmp_path / "q4")
+    q = RenderQueue(out, n_items=4)
+
+    class Boom(Exception):
+        pass
+
+    def render(batch):
+        return tuple(batch)
+
+    fins = []
+
+    def finish(batch, result):
+        if batch == [2, 3]:
+            raise Boom()
+        fins.append(tuple(batch))
+
+    with pytest.raises(Boom):
+        q.run(render, batch_size=2, finish=finish)
+    assert fins == [(0, 1)]
+    q2 = RenderQueue(out, n_items=4)
+    assert q2.pending() == [2, 3]

@@ -144,13 +144,41 @@ def main():
     q16 = np.asarray(render_jax.render_image(
         N3Tree("/tmp/_cfg3q16.npz").to_device(lut_depth=None), cam, opt))
     quant_only_db = psnr(q16[..., :3], t2[..., :3])
+    # codebook-size A/B curve (thresh=0: pure quantization error) + the
+    # sigma-kill-only control: pins that the low default-config figure is
+    # the reference's deliberate sigma<2 voxel kill, NOT the codebook
+    # (tests/test_compress.py::test_codebook_quality_ab gates the same)
+    curve = {}
+    for bits_ in (8, 12, 16):
+        with np.load("/tmp/_cfg3.npz") as f:
+            zq_ = compress_tree(dict(f.items()), bits=bits_, retain=1,
+                                sigma_thresh=0.0)
+        np.savez("/tmp/_cfg3ab.npz", **zq_)
+        img_ = np.asarray(render_jax.render_image(
+            N3Tree("/tmp/_cfg3ab.npz").to_device(lut_depth=None), cam, opt))
+        curve[f"bits{bits_}"] = round(psnr(img_[..., :3], t2[..., :3]), 1)
+    with np.load("/tmp/_cfg3.npz") as f:
+        killed = dict(f.items())
+    kdata = np.array(killed["data"], np.float32)
+    kdata[..., -1] = np.where(kdata[..., -1] < 2.0, 0.0, kdata[..., -1])
+    killed["data"] = kdata.astype(np.float16)
+    np.savez("/tmp/_cfg3k.npz", **killed)
+    kill_db = psnr(np.asarray(render_jax.render_image(
+        N3Tree("/tmp/_cfg3k.npz").to_device(lut_depth=None), cam,
+        opt))[..., :3], t2[..., :3])
     R["config3_quantized"] = {
         "ondevice_vs_hostdecode_max_abs": float(np.abs(a - b).max()),
         "quantized_vs_dense_psnr_db": round(psnr(
             a[..., :3], t2[..., :3]), 1),
         "quantization_only_psnr_db_16bit": round(quant_only_db, 1),
+        "codebook_curve_thresh0_psnr_db": curve,
+        "sigma_kill_only_psnr_db": round(kill_db, 1),
+        "note": ("default-config loss is the reference's own sigma<2 "
+                 "voxel kill (compress_octree.py:32); the 16-bit "
+                 "codebook alone is visually transparent"),
         "pass": (float(np.abs(a - b).max()) < 1e-5
-                 and quant_only_db > 60.0)}
+                 and quant_only_db > 60.0
+                 and abs(kill_db - psnr(a[..., :3], t2[..., :3])) < 3.0)}
 
     # ---- [4] multi-device ------------------------------------------------
     mesh = dist.make_mesh(jax.devices()[:8])

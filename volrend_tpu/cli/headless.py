@@ -91,6 +91,25 @@ def main(argv=None) -> int:
             return oracle.render_image(tree, cam, opt)
         return np.asarray(render_jax.render_image(dev, cam, opt))
 
+    # PP overlap (SURVEY §2.3 PP row, main_headless.cpp:203-231 protocol):
+    # PNG encoding runs in writer threads WHILE the next pose group
+    # renders, so wall clock is ~max(render, png) instead of their sum;
+    # JAX's async dispatch additionally overlaps group k+1's device
+    # compute with group k's host download.
+    writer = None
+    futs = []
+    if args.write_images:
+        from concurrent.futures import ThreadPoolExecutor
+        os.makedirs(args.write_images, exist_ok=True)
+        writer = ThreadPoolExecutor(max_workers=8)
+
+    def emit(i, img):
+        if writer is not None:
+            futs.append(writer.submit(
+                write_png,
+                os.path.join(args.write_images, basenames[i] + ".png"),
+                img))
+
     if args.renderer == "slab":
         # Group poses by (perm, flip) and render each group as ONE jitted
         # lax.map dispatch (render_frames): on the axon tunnel every
@@ -115,23 +134,31 @@ def main(argv=None) -> int:
             else:
                 fallback.append(i)
 
-        def run_groups():
+        def run_groups(sink=None):
             frames = [None] * len(cams)
-            for (perm, flip), idxs in groups.items():
-                trs = jnp.asarray(
-                    np.stack([cams[i].transform for i in idxs]), jnp.float32)
-                out = np.asarray(slab_render.render_frames(
-                    grid, trs, fx, fy, perm, flip, width, height, opt,
-                    gi=args.gi))
+            # dispatch every group before downloading any (async device
+            # arrays): group k+1 computes while group k transfers/writes
+            pend = [(idxs, slab_render.render_frames(
+                grid, jnp.asarray(
+                    np.stack([cams[i].transform for i in idxs]),
+                    jnp.float32),
+                fx, fy, perm, flip, width, height, opt, gi=args.gi))
+                for (perm, flip), idxs in groups.items()]
+            for idxs, out_dev in pend:
+                out = np.asarray(out_dev)
                 for j, i in enumerate(idxs):
                     frames[i] = out[j]
+                    if sink is not None:
+                        sink(i, out[j])
             for i in fallback:
                 frames[i] = render_one(cams[i])
+                if sink is not None:
+                    sink(i, frames[i])
             return frames
 
         run_groups()                     # warmup/compile outside the timer
         t0 = time.perf_counter()
-        frames = run_groups()
+        frames = run_groups(sink=emit)
         dt = time.perf_counter() - t0
     else:
         # warmup/compile outside the timer (the reference's first-frame
@@ -140,18 +167,22 @@ def main(argv=None) -> int:
 
         frames = []
         t0 = time.perf_counter()
-        for cam in cams:
+        for i, cam in enumerate(cams):
             frames.append(render_one(cam))
+            emit(i, frames[-1])
         dt = time.perf_counter() - t0
 
     n = len(cams)
     print(f"{1e3 * dt / n:.10f} ms per frame")
     print(f"{n / dt:.10f} fps")
 
-    if args.write_images:
-        os.makedirs(args.write_images, exist_ok=True)
-        for name, img in zip(basenames, frames):
-            write_png(os.path.join(args.write_images, name + ".png"), img)
+    if writer is not None:
+        tw0 = time.perf_counter()
+        for f in futs:
+            f.result()
+        writer.shutdown()
+        print(f"png drain {1e3 * (time.perf_counter() - tw0):.1f} ms "
+              f"(encoded concurrently with rendering)", file=sys.stderr)
 
     return 0
 

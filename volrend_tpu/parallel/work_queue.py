@@ -61,14 +61,44 @@ class RenderQueue:
                 os.unlink(tmp)
             raise
 
-    def run(self, render_batch: Callable[[List[int]], None],
-            batch_size: int = 8) -> int:
-        """Process pending items in batches; returns #items completed now."""
+    def run(self, render_batch: Callable[[List[int]], object],
+            batch_size: int = 8,
+            finish: Optional[Callable[[List[int], object], None]] = None
+            ) -> int:
+        """Process pending items in batches; returns #items completed now.
+
+        finish: optional second pipeline stage (PP overlap, SURVEY §2.3):
+        ``render_batch(ids)`` should only DISPATCH work (returning e.g. an
+        async device array) and ``finish(ids, result)`` synchronizes and
+        writes outputs. The queue dispatches batch k+1 BEFORE finishing
+        batch k, so device compute overlaps host download/PNG encoding —
+        the reference's render/readback pipelining
+        (main_headless.cpp:208-223). Items are marked done only after
+        their ``finish`` returns (resume safety unchanged). Without
+        ``finish``, render_batch is treated as synchronous (old contract).
+        """
         todo = self.pending()
         n = 0
+        if finish is None:
+            for s in range(0, len(todo), batch_size):
+                batch = todo[s:s + batch_size]
+                render_batch(batch)
+                self.mark_done(batch)
+                n += len(batch)
+            return n
+        prev = None
         for s in range(0, len(todo), batch_size):
             batch = todo[s:s + batch_size]
-            render_batch(batch)
-            self.mark_done(batch)
-            n += len(batch)
+            result = render_batch(batch)         # dispatch (async)
+            if prev is not None:
+                pids, pres = prev
+                finish(pids, pres)               # overlap with `result`
+                self.mark_done(pids)
+                n += len(pids)
+            prev = (batch, result)
+        if prev is not None:
+            pids, pres = prev
+            finish(pids, pres)
+            self.mark_done(pids)
+            n += len(pids)
         return n
