@@ -134,6 +134,8 @@ def main(argv=None) -> int:
             else:
                 fallback.append(i)
 
+        split_cache = {}
+
         def run_groups(sink=None):
             frames = [None] * len(cams)
             # dispatch every group before downloading any (async device
@@ -151,7 +153,15 @@ def main(argv=None) -> int:
                     if sink is not None:
                         sink(i, out[j])
             for i in fallback:
-                frames[i] = render_one(cams[i])
+                # steep/straddling poses: split-frame slab passes for
+                # world trees (>> the exact path's throughput); the
+                # exact renderer only for NDC trees
+                if grid.ndc is None:
+                    frames[i] = slab_render.render_frame_split(
+                        grid, cams[i].transform, fx, fy, width, height,
+                        opt, gi=args.gi, payload_cache=split_cache)
+                else:
+                    frames[i] = render_one(cams[i])
                 if sink is not None:
                     sink(i, frames[i])
             return frames

@@ -418,7 +418,7 @@ class FrameGeom:
     def __init__(self, grid: DenseGrid, transform, fx, fy,
                  perm: Tuple[int, int, int], flip: bool,
                  width: int, height: int, opt: RenderOptions, gi: int,
-                 mesh_dist=None):
+                 mesh_dist=None, unit_slope_box: bool = False):
         G = grid.G
         transform = jnp.asarray(transform, _F32).reshape(3, 4)
         self.R = transform[:, :3]
@@ -459,19 +459,31 @@ class FrameGeom:
         else:
             d_tree_c = d_world_c * scale
         uc, vc = _slopes_from_dirs(d_tree_c, perm)
-        # half-texel guard band, PROPORTIONAL to each axis's slope range:
-        # an absolute pad would swamp the tiny slope ranges of near-parallel
-        # ray families (NDC cameras near the z=0 plane warp to slopes
-        # ~2|oz|, and an absolute 0.5/gi pad left ~20% of the intermediate
-        # grid covering the image)
-        ur = jnp.maximum(jnp.max(uc) - jnp.min(uc), 1e-6)
-        vr = jnp.maximum(jnp.max(vc) - jnp.min(vc), 1e-6)
-        upad = 0.5 * ur / gi
-        vpad = 0.5 * vr / gi
-        self.u0 = u0 = jnp.min(uc) - upad
-        u1 = jnp.max(uc) + upad
-        self.v0 = v0 = jnp.min(vc) - vpad
-        v1 = jnp.max(vc) + vpad
+        if unit_slope_box:
+            # split-frame pass (render_frame_split): this pass owns the
+            # rays whose DOMINANT axis is the slab axis, so every slope
+            # magnitude is <= 1 by construction — the box is fixed,
+            # independent of the (possibly slab-incompatible) full-frame
+            # slope range
+            box = _F32(1.0 + 2.0 / gi)
+            self.u0 = u0 = -box
+            u1 = box
+            self.v0 = v0 = -box
+            v1 = box
+        else:
+            # half-texel guard band, PROPORTIONAL to each axis's slope
+            # range: an absolute pad would swamp the tiny slope ranges of
+            # near-parallel ray families (NDC cameras near the z=0 plane
+            # warp to slopes ~2|oz|, and an absolute 0.5/gi pad left ~20%
+            # of the intermediate grid covering the image)
+            ur = jnp.maximum(jnp.max(uc) - jnp.min(uc), 1e-6)
+            vr = jnp.maximum(jnp.max(vc) - jnp.min(vc), 1e-6)
+            upad = 0.5 * ur / gi
+            vpad = 0.5 * vr / gi
+            self.u0 = u0 = jnp.min(uc) - upad
+            u1 = jnp.max(uc) + upad
+            self.v0 = v0 = jnp.min(vc) - vpad
+            v1 = jnp.max(vc) + vpad
         self.du = du = (u1 - u0) / (gi - 1)
         self.dv = dv = (v1 - v0) / (gi - 1)
         # rows (axis perm[1]) / columns (axis perm[2])
@@ -634,13 +646,15 @@ class FrameGeom:
 def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
                        perm: Tuple[int, int, int], flip: bool,
                        width: int, height: int, opt: RenderOptions,
-                       gi: int, use_pallas: bool = False, mesh=None):
+                       gi: int, use_pallas: bool = False, mesh=None,
+                       unit_slope_box: bool = False):
     G = grid.G
     D = grid.data_dim
     bd = grid.basis_dim
 
     g = FrameGeom(grid, transform, fx, fy, perm, flip, width, height, opt,
-                  gi, mesh_dist=None if mesh is None else mesh[0])
+                  gi, mesh_dist=None if mesh is None else mesh[0],
+                  unit_slope_box=unit_slope_box)
     R, fx, fy = g.R, g.fx, g.fy
     scale = g.scale
     cz, cy, cx = g.cz, g.cy, g.cx
@@ -971,6 +985,101 @@ def _rodrigues(rot_dirs) -> Optional[np.ndarray]:
     return _rodrigues_matrix(rot_dirs)
 
 
+@partial(jax.jit, static_argnames=("classes", "width", "height", "gi",
+                                   "opt"))
+def _render_split_jit(grid: DenseGrid, transform, fx, fy,
+                      classes: Tuple[Tuple[int, bool], ...],
+                      width: int, height: int, opt: RenderOptions,
+                      gi: int, payloads=None):
+    """All split-frame class passes + the argmax stitch in ONE jitted
+    program (one dispatch — the tunnel costs ~26 ms per round trip).
+    Each pass is a full slab render over the fixed unit slope box; pass
+    (axis, flip) owns exactly the rays whose dominant tree axis is
+    ``axis`` with march sign ``flip``."""
+    use_pallas = _pallas_ok(grid, opt)
+    outs = []
+    for ci, (axis, flip) in enumerate(classes):
+        perm = (axis, (axis + 1) % 3, (axis + 2) % 3)
+        pay = payloads[ci] if payloads is not None else None
+        # per-frame payload permutes cost ~5 ms each at bench scale
+        # (profiled); interactive callers pass pre-permuted payloads
+        gdata = ((pay, None) if pay is not None and use_pallas
+                 else _permuted_grid(grid, perm, use_pallas))
+        outs.append(_render_frame_impl(
+            grid, gdata, transform, fx, fy, perm, flip, width, height,
+            opt, gi, use_pallas, unit_slope_box=True))
+
+    transform = jnp.asarray(transform, _F32).reshape(3, 4)
+    R = transform[:, :3]
+    px = (jnp.arange(width, dtype=_F32) - 0.5 * width) / fx
+    py = -(jnp.arange(height, dtype=_F32) - 0.5 * height) / fy
+    d_cam = jnp.stack([
+        jnp.broadcast_to(px[None, :], (height, width)),
+        jnp.broadcast_to(py[:, None], (height, width)),
+        -jnp.ones((height, width), _F32)], -1)
+    d_tree = jnp.einsum("hwc,kc->hwk", d_cam, R) * grid.scale
+    m = jnp.argmax(jnp.abs(d_tree), -1)
+    neg = jnp.take_along_axis(d_tree, m[..., None], -1)[..., 0] < 0
+    out = jnp.zeros((height, width, 4), _F32)
+    for (axis, flip), img in zip(classes, outs):
+        sel = (m == axis) & (neg == flip)
+        out = jnp.where(sel[..., None], img, out)
+    return out
+
+
+def render_frame_split(grid: DenseGrid, transform, fx, fy,
+                       width: int, height: int, opt: RenderOptions,
+                       gi: int = 384, payload_cache: Optional[dict] = None):
+    """Render ANY world-tree pinhole pose via split-frame slab passes.
+
+    Steep/wide/interior poses break the single-axis shear-warp gate
+    (rays straddle the slab axis, or boundary slopes exceed
+    MAX_SLAB_SLOPE). But every ray has a dominant tree axis, and within
+    the class of rays dominated by axis m with a fixed sign, every slope
+    magnitude is <= 1 — comfortably slab-compatible. So: partition the
+    image into <= 6 (axis, sign) classes, render each class as a full
+    slab pass over the fixed unit slope box, and stitch per pixel by
+    argmax. Replaces the catastrophic exact-path fallback (~0.044
+    Mrays/s) for such poses (the reference renders any pose in one
+    kernel, rt_core.cuh:66-196 — this is the shear-warp equivalent).
+
+    Only classes observed on a probe pixel grid are rendered (argmax
+    regions are cones; a 33x33 probe including the image boundary finds
+    every nonempty class). Typical steep poses need 2-3 passes.
+    Returns (H, W, 4) f32. World trees only (NDC steep poses keep the
+    exact fallback: the NDC warp's slope caustic is not axis-separable).
+    """
+    if grid.ndc is not None:
+        raise ValueError("render_frame_split supports world trees only")
+    tf = np.asarray(transform, np.float64).reshape(3, 4)
+    R = tf[:, :3]
+    n = 33
+    xs = np.linspace(0, width, n)
+    ys = np.linspace(0, height, n)
+    pxg, pyg = np.meshgrid(xs, ys)
+    d_cam = np.stack([(pxg.reshape(-1) - 0.5 * width) / fx,
+                      -(pyg.reshape(-1) - 0.5 * height) / fy,
+                      -np.ones(n * n)], -1)
+    d_tree = (d_cam @ R.T) * np.asarray(grid.scale, np.float64)
+    m = np.argmax(np.abs(d_tree), -1)
+    neg = d_tree[np.arange(n * n), m] < 0
+    classes = tuple(sorted({(int(a), bool(f)) for a, f in zip(m, neg)}))
+
+    tr = jnp.asarray(transform, _F32)
+    payloads = None
+    if payload_cache is not None:
+        payloads = []
+        for axis, flip in classes:
+            perm = (axis, (axis + 1) % 3, (axis + 2) % 3)
+            if perm not in payload_cache:
+                payload_cache[perm] = prepare_payload(grid, perm, opt)
+            payloads.append(payload_cache[perm])
+        payloads = tuple(payloads)
+    return np.asarray(_render_split_jit(grid, tr, fx, fy, classes,
+                                        width, height, opt, gi,
+                                        payloads=payloads))
+
+
 def render_image(grid: DenseGrid, cam, opt: RenderOptions,
                  gi: int = 512, payload_cache: Optional[dict] = None,
                  meshes: Optional[Sequence] = None,
@@ -987,11 +1096,18 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
     """
     perm, flip, slope = choose_axis(
         grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
-    if not np.isfinite(slope):
-        raise ValueError("pose not renderable by the slab path "
-                         "(rays straddle the slab axis); use render_jax")
     mesh_dist = mesh_rgb = None
     mesh_list = list(meshes) if meshes else []
+    if not (np.isfinite(slope) and slope < MAX_SLAB_SLOPE):
+        # steep/wide/interior pose: single-axis shear-warp can't take it,
+        # but the split-frame multi-pass can (world trees, no meshes)
+        if grid.ndc is None and not mesh_list and not (
+                opt.show_grid and host_tree is not None):
+            return render_frame_split(grid, cam.transform, cam.fx,
+                                      cam.fy, cam.width, cam.height, opt,
+                                      gi=gi, payload_cache=payload_cache)
+        raise ValueError("pose not renderable by the slab path "
+                         "(rays straddle the slab axis); use render_jax")
     if opt.show_grid and host_tree is not None:
         from volrend_tpu.ops.composite import wireframe_mesh
         mesh_list.append(wireframe_mesh(host_tree, opt.grid_max_depth))

@@ -519,17 +519,24 @@ class ViewerState:
             # composited over mesh color — ops/slab_render mesh args);
             # only NDC trees with meshes need the exact renderer
             from volrend_tpu.ops import slab_render
-            if slab_render.compatible(self.grid, self.cam.transform,
-                                      self.cam.fx, self.cam.fy, w, h):
+            is_compat = slab_render.compatible(
+                self.grid, self.cam.transform, self.cam.fx, self.cam.fy,
+                w, h)
+            # steep/interior world-tree poses without meshes render via
+            # split-frame slab passes (render_image routes internally)
+            if is_compat or (self.grid.ndc is None and not any_mesh):
                 img = slab_render.render_image(
                     self.grid, self.cam, self.opt, gi=512,
                     payload_cache=self._payload_cache,
                     meshes=self.meshes if any_mesh else None,
                     host_tree=self.tree)
-                self.last_backend = (
-                    "slab-pallas"
-                    if slab_render._pallas_ok(self.grid, self.opt)
-                    else "slab-xla")
+                if is_compat:
+                    self.last_backend = (
+                        "slab-pallas"
+                        if slab_render._pallas_ok(self.grid, self.opt)
+                        else "slab-xla")
+                else:
+                    self.last_backend = "slab-split"
         if img is None:
             from volrend_tpu.ops import composite
             img = composite.render_frame_with_meshes(
