@@ -97,7 +97,7 @@ def _interpret() -> bool:
 # table build: planar shifted planes (Pallas) + transpose folded into gather
 # ---------------------------------------------------------------------------
 
-def _make_build(gi: int, group: int):
+def _make_build(gi: int, group: int, dtype=jnp.bfloat16):
     """Kernel emitting window-table channels [16*group, 16*group+16) in
     planar (16, rows, gi-3) layout. One dynamic row-block load per color
     plane, static shifted subslices after (Mosaic compiles exactly this
@@ -120,21 +120,22 @@ def _make_build(gi: int, group: int):
         grid=(nb,),
         in_specs=[pl.BlockSpec((4, nb * BH + 3, gi), lambda i: (0, 0, 0))],
         out_specs=pl.BlockSpec((16, BH, W3), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((16, nb * BH, W3), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((16, nb * BH, W3), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_interpret(),
     ), nb * BH
 
 
-def _build_table(inter, gi: int):
-    """(gi, gi, 4) f32 -> ((gi-3)^2, 64) bf16 window-row table (as the
-    free transpose of the planar Pallas build)."""
+def _build_table(inter, gi: int, dtype=jnp.bfloat16):
+    """(gi, gi, 4) f32 -> ((gi-3)^2, 64) window-row table (as the free
+    transpose of the planar Pallas build). bf16 on the display path, f32
+    on the precise (training) path."""
     W3 = gi - 3
-    itp = jnp.transpose(inter, (2, 0, 1)).astype(jnp.bfloat16)
+    itp = jnp.transpose(inter, (2, 0, 1)).astype(dtype)
     parts = []
     for g in range(4):
-        call, Hp = _make_build(gi, g)
+        call, Hp = _make_build(gi, g, dtype)
         if g == 0:
             itp = jnp.pad(itp, ((0, 0), (0, Hp + 3 - gi), (0, 0)))
         parts.append(call(itp)[:, :W3])
@@ -272,14 +273,14 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
     )(*args)
 
 
-def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
-                      width: int, height: int, gi: int,
-                      perm: Tuple[int, int, int],
-                      u0, du, v0, dv, scale,
-                      ndc: Optional[tuple] = None, origin=None,
-                      bg_pix=None):
-    """Drop-in twin of slab_render._warp_to_screen (display path): warp the
-    (gi, gi, 4) intermediate image to (H, W, 4) + background composite."""
+def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
+                  perm: Tuple[int, int, int], u0, du, v0, dv, scale,
+                  ndc=None, origin=None):
+    """Per-subpixel slope-grid coordinates + the shared 4x4 window corner.
+
+    Returns (gys, gxs, okm, Y0, X0, fits): (4, Hh, Wh) clipped subpixel
+    positions / ok masks, (Hh, Wh) int32 window corners, and the
+    whole-frame bulk-misfit predicate (see warp_to_screen_sq)."""
     from volrend_tpu.ops.slab_render import _slopes_from_dirs
     Hh, Wh = height // 2, width // 2
 
@@ -320,13 +321,27 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
     xmin = jnp.where(any_in, jnp.min(jnp.where(inb, gxs, big), 0), 0.0)
     Y0 = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, gi - 4)
     X0 = jnp.clip(jnp.floor(xmin).astype(jnp.int32), 0, gi - 4)
-
-    # bulk-misfit gate (see module docstring)
+    # bulk-misfit gate (see warp_to_screen_sq docstring)
     ymax = jnp.where(any_in, jnp.max(jnp.where(inb, gys, -big), 0), 0.0)
     xmax = jnp.where(any_in, jnp.max(jnp.where(inb, gxs, -big), 0), 0.0)
     misfit = ((ymax >= jnp.floor(ymin) + 3.0)
               | (xmax >= jnp.floor(xmin) + 3.0))
     fits = jnp.mean(misfit.astype(_F32)) < 1e-3
+    return gys, gxs, okm, Y0, X0, fits
+
+
+def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
+                      width: int, height: int, gi: int,
+                      perm: Tuple[int, int, int],
+                      u0, du, v0, dv, scale,
+                      ndc: Optional[tuple] = None, origin=None,
+                      bg_pix=None):
+    """Drop-in twin of slab_render._warp_to_screen (display path): warp the
+    (gi, gi, 4) intermediate image to (H, W, 4) + background composite."""
+    Hh, Wh = height // 2, width // 2
+    gys, gxs, okm, Y0, X0, fits = _sub_geometry(
+        R, fx, fy, width, height, gi, perm, u0, du, v0, dv, scale,
+        ndc=ndc, origin=origin)
 
     mesh_planes = None
     if bg_pix is not None:
@@ -357,3 +372,179 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                                    bg_pix=bg_pix)
 
     return jax.lax.cond(fits, fast, slow, inter)
+
+
+# ---------------------------------------------------------------------------
+# precise (training) superquad warp with a hand-written VJP
+# ---------------------------------------------------------------------------
+#
+# The training path warps with f32 tables and differentiates the warp
+# w.r.t. the intermediate image. Autodiff of the reference quad-gather
+# warp transposes a 640k-row gather into a 640k-row scatter (~6 ms/frame
+# at 800^2/gi=512, profiled — the single largest term of the warp's
+# fwd+VJP ~8.6 ms). The superquad structure cuts the scatter to 160k
+# rows and keeps every relayout inside Pallas:
+#
+#   fwd: f32 window table (Pallas planar build + transpose-folded
+#        gather) -> f32 tent combine + interleaved emit (hi/lo bf16
+#        one-hot dots: exact placement to ~2^-17 relative)
+#   bwd: subpixel split of the cotangent -> composite adjoint -> tent
+#        adjoint (Pallas, transpose twin of the combine) -> 160k-row
+#        scatter-add into the window table -> build adjoint (Pallas:
+#        16 shifted-plane sums)
+#
+# Geometry cotangents are ZERO by contract (training differentiates leaf
+# payloads only — the same implicit contract the autodiff path has, since
+# callers never request camera gradients). Gated in
+# tests/test_slab_grad.py::test_precise_sq_warp_vjp_matches_autodiff.
+
+
+def _combine_adjoint_kernel(BH: int, Wh: int, bg: float):
+    def kernel(gpl_ref, ry_ref, rx_ref, ok_ref, out_ref):
+        acc = [jnp.zeros((BH, Wh), jnp.float32) for _ in range(64)]
+        for s in range(4):
+            ryv = jnp.clip(ry_ref[s], 0.0, 3.0)
+            rxv = jnp.clip(rx_ref[s], 0.0, 3.0)
+            wy = [jnp.maximum(0.0, 1.0 - jnp.abs(ryv - cy))
+                  for cy in range(4)]
+            wx = [jnp.maximum(0.0, 1.0 - jnp.abs(rxv - cx))
+                  for cx in range(4)]
+            ok = ok_ref[s] > 0.5
+            g = [gpl_ref[s * 4 + c] for c in range(4)]
+            # composite adjoint: out_c = rgba_c + bg*(1-alpha) (c<3),
+            # out_3 = alpha, all masked by ok
+            dr = [jnp.where(ok, g[c], 0.0) for c in range(3)]
+            dalpha = jnp.where(ok, g[3] - bg * (g[0] + g[1] + g[2]), 0.0)
+            drgba = dr + [dalpha]
+            for cy in range(4):
+                for cx in range(4):
+                    wyx = wy[cy] * wx[cx]
+                    for c in range(4):
+                        ch = _chan(cy, cx, c)
+                        acc[ch] = acc[ch] + wyx * drgba[c]
+        for ch in range(64):
+            out_ref[ch] = acc[ch]
+
+    return kernel
+
+
+def _combine_adjoint(gplanes, ry, rx, okm, Hh: int, Wh: int, bg: float):
+    """(16, Hh, Wh) subpixel cotangent planes -> (64, Hh, Wh) window-cell
+    cotangents (transpose twin of the tent combine)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    cands = [b for b in range(8, min(64, Hh) + 1, 8) if Hh % b == 0]
+    BH = max(cands) if cands else Hh
+    kern = _combine_adjoint_kernel(BH, Wh, bg)
+    blk = lambda n: pl.BlockSpec((n, BH, Wh), lambda i: (0, i, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(Hh // BH,),
+        in_specs=[blk(16), blk(4), blk(4), blk(4)],
+        out_specs=blk(64),
+        out_shape=jax.ShapeDtypeStruct((64, Hh, Wh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(gplanes, ry, rx, okm)
+
+
+def _build_adjoint(dtblp, gi: int):
+    """(64, gi-3, gi-3) window-table cotangents -> (gi, gi, 4) d_inter:
+    each inter cell appears in 16 shifted window positions."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    W3 = gi - 3
+    BH = _BH_BUILD
+    nb = -(-gi // BH)
+    Hp = nb * BH
+    # zero-pad 3 on every side: d_inter[c][y, x] =
+    #   sum_{cy,cx} dp[chan][y + 3 - cy, x + 3 - cx]
+    dp = jnp.pad(dtblp, ((0, 0), (3, Hp + 3 - gi), (3, 3)))
+    rows = int(dp.shape[1])
+
+    def kernel(dp_ref, out_ref):
+        i = pl.program_id(0)
+        blk = [dp_ref[ch, pl.ds(i * BH, BH + 3), :] for ch in range(64)]
+        for c in range(4):
+            acc = jnp.zeros((BH, gi), jnp.float32)
+            for cy in range(4):
+                for cx in range(4):
+                    ch = _chan(cy, cx, c)
+                    acc = acc + blk[ch][3 - cy:3 - cy + BH,
+                                        3 - cx:3 - cx + gi]
+            out_ref[c] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((64, rows, W3 + 6), lambda i: (0, 0, 0))],
+        out_specs=pl.BlockSpec((4, BH, gi), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((4, Hp, gi), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(dp)
+    return jnp.transpose(out[:, :gi], (1, 2, 0))
+
+
+def _precise_fwd(inter, geom, statics):
+    (R, fx, fy, u0, du, v0, dv, scale, origin) = geom
+    (opt_bg, width, height, gi, perm, ndc) = statics
+    Hh, Wh = height // 2, width // 2
+    gys, gxs, okm, Y0, X0, _ = _sub_geometry(
+        R, fx, fy, width, height, gi, perm, u0, du, v0, dv, scale,
+        ndc=ndc, origin=origin)
+    tbl = _build_table(inter, gi, dtype=jnp.float32)
+    flat = Y0 * (gi - 3) + X0
+    qg = tbl[flat]                                  # (Hh, Wh, 64) f32
+    qgp = jnp.transpose(qg, (2, 0, 1))
+    ry = gys - Y0.astype(_F32)[None]
+    rx = gxs - X0.astype(_F32)[None]
+    out = _combine_emit(qgp, ry, rx, okm, Hh, Wh, opt_bg)
+    return out.reshape(height, width, 4), (ry, rx, okm, flat)
+
+
+def _precise_bwd(geom_res, statics, res, g):
+    (opt_bg, width, height, gi, perm, ndc) = statics
+    Hh, Wh = height // 2, width // 2
+    ry, rx, okm, flat = res
+    gplanes = jnp.stack(
+        [g[p::2, q::2, c]
+         for p in range(2) for q in range(2) for c in range(4)], 0)
+    dqg = _combine_adjoint(gplanes, ry, rx, okm, Hh, Wh, opt_bg)
+    rows = jnp.transpose(dqg, (1, 2, 0)).reshape(Hh * Wh, 64)
+    W3 = gi - 3
+    dtbl = jnp.zeros((W3 * W3, 64), jnp.float32).at[
+        flat.reshape(-1)].add(rows)
+    dtblp = jnp.transpose(dtbl, (1, 0)).reshape(64, W3, W3)
+    return _build_adjoint(dtblp, gi)
+
+
+def make_warp_precise(opt_bg: float, width: int, height: int, gi: int,
+                      perm: Tuple[int, int, int], ndc):
+    """Build the custom-VJP precise warp for fixed static config."""
+    statics = (opt_bg, width, height, gi, perm, ndc)
+
+    @jax.custom_vjp
+    def warp(inter, geom):
+        return _precise_fwd(inter, geom, statics)[0]
+
+    def fwd(inter, geom):
+        out, res = _precise_fwd(inter, geom, statics)
+        return out, (res, geom)
+
+    def bwd(saved, g):
+        res, geom = saved
+        d_inter = _precise_bwd(None, statics, res, g)
+        zeros = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x), geom)
+        return d_inter, zeros
+
+    warp.defvjp(fwd, bwd)
+    return warp
+
+
+def usable_precise(width: int, height: int, gi: int) -> bool:
+    """Static gate for the training-path superquad warp."""
+    return usable(width, height, gi)

@@ -847,18 +847,25 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
     bg_pix: optional (mesh_rgb (H, W, 3), hit (H, W) bool) per-pixel
     background — mesh compositing (remaining transmittance over the mesh
     color; alpha forced 1 on mesh pixels, volrend.cu:152-163)."""
+    from volrend_tpu.ops import display_warp
     if not precise:
         # display path on TPU: 2x2-screen-pixel superquad gather (4x fewer
         # gather rows) + Pallas tent-combine — 0.51 vs 1.71 ms/frame at
         # 800^2 (ops/display_warp.py; parity gated vs this reference path).
         # Falls back to this reference warp per-pose (lax.cond) when a
         # wide-FOV/grazing pose stretches a quad past the 4x4 cell window.
-        from volrend_tpu.ops import display_warp
         if display_warp.usable(width, height, gi):
             return display_warp.warp_to_screen_sq(
                 inter, opt, R, fx, fy, width, height, gi, perm,
                 u0, du, v0, dv, scale, ndc=ndc, origin=origin,
                 bg_pix=bg_pix)
+    # NOTE: a superquad PRECISE warp with a hand-written VJP exists
+    # (display_warp.make_warp_precise, gradient-parity gated) but
+    # measured SLOWER in the training step than autodiff of this
+    # reference warp (87.4 vs 66.8 ms/step wall at 800^2/G=128/gi=512:
+    # the f32 window table moves 4x the display path's bytes and the
+    # adjoint's relayout transposes re-spend the 4x-fewer-scatter-rows
+    # win). Parked; the training path keeps the reference warp.
     return _warp_to_screen_ref(inter, opt, R, fx, fy, width, height, gi,
                                perm, u0, du, v0, dv, scale,
                                precise=precise, ndc=ndc, origin=origin,
