@@ -249,3 +249,30 @@ def test_slab_mesh_ndc_rejected():
     with pytest.raises(ValueError):
         slab_render.render_image(grid, cam, RenderOptions(max_steps=256),
                                  gi=96, meshes=[Mesh.Cube((1, 0, 0))])
+
+
+def test_slab_mesh_composite_steep_pose_split():
+    """Mesh compositing on the SPLIT-FRAME path: a steep pose (outside
+    the single-axis slab gate) with a composited cube must match the
+    exact T2 composite — each class pass clips at the mesh and the
+    per-pixel stitch keeps the result consistent."""
+    from volrend_tpu.ops import slab_render
+    dev, grid, cube = _slab_mesh_scene()
+    back = np.asarray((1.0, 0.3, 0.4))
+    back /= np.linalg.norm(back)
+    cam = Camera.from_vectors(center=tuple(1.2 * back), v_back=tuple(back),
+                              v_world_up=(0.0, 0.0, 1.0), width=48,
+                              height=48, fx=16.0)
+    _, _, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, 48, 48)
+    assert not (np.isfinite(slope) and slope < slab_render.MAX_SLAB_SLOPE)
+    cube.translation = np.asarray(cam.center * 0.55, np.float32)
+    opt = RenderOptions(max_steps=512)
+    ref = render_frame_with_meshes(dev, cam, opt, [cube])
+    out = slab_render.render_image(grid, cam, opt, gi=128, meshes=[cube])
+    buf = rasterize_meshes([cube], cam)
+    hit = np.isfinite(buf.dist)
+    assert hit.any()
+    assert np.all(out[..., 3][hit] > 0.999)
+    p = _psnr(out[..., :3], ref[..., :3])
+    assert p > 26.0, f"split+mesh PSNR {p:.1f} dB"

@@ -997,7 +997,7 @@ def _rodrigues(rot_dirs) -> Optional[np.ndarray]:
 def _render_split_jit(grid: DenseGrid, transform, fx, fy,
                       classes: Tuple[Tuple[int, bool], ...],
                       width: int, height: int, opt: RenderOptions,
-                      gi: int, payloads=None):
+                      gi: int, payloads=None, mesh=None):
     """All split-frame class passes + the argmax stitch in ONE jitted
     program (one dispatch — the tunnel costs ~26 ms per round trip).
     Each pass is a full slab render over the fixed unit slope box; pass
@@ -1014,7 +1014,7 @@ def _render_split_jit(grid: DenseGrid, transform, fx, fy,
                  else _permuted_grid(grid, perm, use_pallas))
         outs.append(_render_frame_impl(
             grid, gdata, transform, fx, fy, perm, flip, width, height,
-            opt, gi, use_pallas, unit_slope_box=True))
+            opt, gi, use_pallas, unit_slope_box=True, mesh=mesh))
 
     transform = jnp.asarray(transform, _F32).reshape(3, 4)
     R = transform[:, :3]
@@ -1036,7 +1036,8 @@ def _render_split_jit(grid: DenseGrid, transform, fx, fy,
 
 def render_frame_split(grid: DenseGrid, transform, fx, fy,
                        width: int, height: int, opt: RenderOptions,
-                       gi: int = 384, payload_cache: Optional[dict] = None):
+                       gi: int = 384, payload_cache: Optional[dict] = None,
+                       mesh_dist=None, mesh_rgb=None):
     """Render ANY world-tree pinhole pose via split-frame slab passes.
 
     Steep/wide/interior poses break the single-axis shear-warp gate
@@ -1073,6 +1074,9 @@ def render_frame_split(grid: DenseGrid, transform, fx, fy,
     classes = tuple(sorted({(int(a), bool(f)) for a, f in zip(m, neg)}))
 
     tr = jnp.asarray(transform, _F32)
+    mesh = (None if mesh_dist is None
+            else (jnp.asarray(mesh_dist, _F32),
+                  jnp.asarray(mesh_rgb, _F32)))
     payloads = None
     if payload_cache is not None:
         payloads = []
@@ -1084,7 +1088,7 @@ def render_frame_split(grid: DenseGrid, transform, fx, fy,
         payloads = tuple(payloads)
     return np.asarray(_render_split_jit(grid, tr, fx, fy, classes,
                                         width, height, opt, gi,
-                                        payloads=payloads))
+                                        payloads=payloads, mesh=mesh))
 
 
 def render_image(grid: DenseGrid, cam, opt: RenderOptions,
@@ -1107,12 +1111,25 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
     mesh_list = list(meshes) if meshes else []
     if not (np.isfinite(slope) and slope < MAX_SLAB_SLOPE):
         # steep/wide/interior pose: single-axis shear-warp can't take it,
-        # but the split-frame multi-pass can (world trees, no meshes)
-        if grid.ndc is None and not mesh_list and not (
-                opt.show_grid and host_tree is not None):
+        # but the split-frame multi-pass can (world trees; meshes ride
+        # along — each class pass clips at the mesh and composites, and
+        # the per-pixel stitch picks the right pass)
+        if grid.ndc is None:
+            md = mr = None
+            if opt.show_grid and host_tree is not None:
+                from volrend_tpu.ops.composite import wireframe_mesh
+                mesh_list.append(
+                    wireframe_mesh(host_tree, opt.grid_max_depth))
+            if mesh_list:
+                from volrend_tpu.ops.rasterize import rasterize_meshes
+                buf = rasterize_meshes(mesh_list, cam)
+                if np.isfinite(buf.dist).any():
+                    md = buf.dist.astype(np.float16)
+                    mr = buf.color.astype(np.float16)
             return render_frame_split(grid, cam.transform, cam.fx,
                                       cam.fy, cam.width, cam.height, opt,
-                                      gi=gi, payload_cache=payload_cache)
+                                      gi=gi, payload_cache=payload_cache,
+                                      mesh_dist=md, mesh_rgb=mr)
         raise ValueError("pose not renderable by the slab path "
                          "(rays straddle the slab axis); use render_jax")
     if opt.show_grid and host_tree is not None:

@@ -522,9 +522,10 @@ class ViewerState:
             is_compat = slab_render.compatible(
                 self.grid, self.cam.transform, self.cam.fx, self.cam.fy,
                 w, h)
-            # steep/interior world-tree poses without meshes render via
-            # split-frame slab passes (render_image routes internally)
-            if is_compat or (self.grid.ndc is None and not any_mesh):
+            # steep/interior world-tree poses render via split-frame
+            # slab passes (render_image routes internally) — meshes
+            # composite there too, so only NDC trees ever fall to exact
+            if is_compat or self.grid.ndc is None:
                 img = slab_render.render_image(
                     self.grid, self.cam, self.opt, gi=512,
                     payload_cache=self._payload_cache,
