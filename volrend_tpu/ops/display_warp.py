@@ -64,7 +64,9 @@ _F32 = jnp.float32
 #: intermediate-row block per build-kernel grid step
 _BH_BUILD = 16
 #: half-res screen-row block per combine-kernel grid step (M dim of the
-#: emit matmuls — keep near 128 so the MXU M-padding waste stays small)
+#: emit matmuls). 200 measured equal within run noise at bench scale but
+#: OOMs Mosaic's 100 MB scoped VMEM in some pose-group compiles; 100
+#: (M pads 80->128) is safe
 _BH_COMBINE = 100
 
 
@@ -248,7 +250,8 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
     from jax.experimental.pallas import tpu as pltpu
     # Mosaic block rule: second-minor block dim must be a multiple of 8
     # or the full dimension; keep M near 128 for the emit matmuls
-    cands = [b for b in range(8, min(128, Hh) + 1, 8) if Hh % b == 0]
+    cands = [b for b in range(8, min(_BH_COMBINE, Hh) + 1, 8)
+             if Hh % b == 0]
     BH = max(cands) if cands else Hh
     W4 = 8 * Wh
     E = jnp.asarray(_emit_mats(Wh), jnp.bfloat16)
