@@ -131,7 +131,7 @@ def main():
         outs = []
         for (perm, flip), trs, pay in zip(pf, trs_list, pays):
             out = slab_render.render_frames(
-                grid, trs, fx, fy, perm, flip, W, H, opt, gi=384,
+                grid, trs, fx, fy, perm, flip, W, H, opt, gi=256,
                 payload=pay)
             outs.append(jnp.sum(out, dtype=jnp.float32, axis=(1, 2)))
         return jnp.concatenate(outs)
@@ -166,7 +166,7 @@ def main():
         grid, cam.transform, cam.fx, cam.fy, W, H)
     frame = np.asarray(slab_render.render_frame(
         grid, jnp.asarray(cam.transform), fx, fy, perm, flip, W, H, opt,
-        gi=384))
+        gi=256))
     ys = np.arange(0, H, 5)
     xs = np.arange(0, W, 5)
     origins, dirs = cam.pixel_rays(xp=np)

@@ -95,19 +95,14 @@ def main():
         acc = lax.map(one, (st[0], st[1]))
         return jnp.sum(acc, dtype=_F32, axis=(1, 2, 3))
 
-    for kps in (4, 8):
-        try:
-            t = sync_time(march_wall, trs, payload, 448, kps)
-            log(f"march gi=448 K={kps}: {1e3 * t / N:5.2f} ms/frame")
-        except Exception as e:
-            log(f"march K={kps} FAILED: {str(e)[:100]}")
+
 
     @partial(jax.jit, static_argnames=("gi",))
     def frame(tr, pay, gi):
         return slab_render.render_frame(grid, tr, fx, fy, perm, flip,
                                         W, H, opt, gi=gi, payload=pay)
 
-    for gi in (336, 384, 416, 448):
+    for gi in (256, 320, 384):
         t = sync_time(march_wall, trs, payload, gi, 4)
         fr = np.asarray(frame(trs[0], payload, gi))
         got = fr[ys][:, xs].reshape(-1, 4)
