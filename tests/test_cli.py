@@ -51,11 +51,12 @@ def test_headless_cli(scene_files, tmp_path, renderer):
     from volrend_tpu.cli import headless
     tree_path, pose_path, intrin_path = scene_files
     out_dir = str(tmp_path / f"out_{renderer}")
+    # slab: omit --gi to exercise the grid-matched default (for this G=8
+    # scene default_gi == 128, so cost is unchanged)
     rc = headless.main([
         tree_path, pose_path, "-i", intrin_path,
         "-W", "48", "-H", "48", "-o", out_dir, "--renderer", renderer,
-        "--gi", "128",
-    ])
+    ] + ([] if renderer == "slab" else ["--gi", "128"]))
     assert rc == 0
     img = read_png(os.path.join(out_dir, "pose_000.png"))
     assert img.shape == (48, 48, 4)

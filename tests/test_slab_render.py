@@ -52,6 +52,23 @@ def test_bake_full_res_exact(scene):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_default_gi_tracks_grid(scene):
+    """gi defaults to the volume's Nyquist rounded to the 128-lane tile
+    (PSNR is flat in gi at/above G while march time scales ~gi^2)."""
+    dev, grid = scene
+    assert slab_render.default_gi(grid) == 128      # G=8 -> lane floor
+    for G, want in ((128, 128), (256, 256), (300, 384), (512, 512),
+                    (1024, 512)):
+        fake = type("g", (), {"G": G})
+        assert slab_render.default_gi(fake) == want
+    # render_image with gi=None must route through the default
+    cam = make_cam((1, 0.2, 0.3))
+    opt = RenderOptions(max_steps=512)
+    out = slab_render.render_image(grid, cam, opt)
+    ref = np.asarray(render_jax.render_image(dev, cam, opt))
+    assert psnr(out[..., :3], ref[..., :3]) > 30.0
+
+
 @pytest.mark.parametrize("back", [
     (1, 0.2, 0.3), (-1, 0.1, -0.2), (0.2, 1, 0.1), (0.1, -1, 0.25),
     (0.3, 0.1, 1), (-0.2, -0.1, -1), (0.5, 0.45, 0.4),
@@ -719,6 +736,65 @@ def test_full_resolution_800_parity_ndc():
     got = frame[ys][:, xs].reshape(-1, 4)
     p = psnr(got[:, :3], exact[:, :3])
     assert p > 38.0, f"NDC 800^2 slab-vs-exact PSNR {p:.1f} dB"
+
+
+def test_superquad_warp_block4(scene, monkeypatch):
+    """The 4x4-screen-pixel superquad variant (16x fewer gather rows than
+    per-pixel quads) must match the reference warp on a slab-axis-aligned
+    pose — the geometry where its window fit holds (forward-facing / NDC
+    poses in production). Pins the B=4 kernel DIRECTLY (the block cascade
+    in warp_to_screen_sq can't distinguish which branch ran: both match),
+    then checks the cascade picks it (fits4) and agrees."""
+    import jax
+    from volrend_tpu.ops import display_warp, pallas_slab
+    dev, grid = scene
+    W = H = 200
+    gi = 64
+    back = np.asarray((1.0, 0.05, 0.08))
+    back /= np.linalg.norm(back)
+    cam = Camera.from_vectors(center=tuple(2.8 * back), v_back=tuple(back),
+                              v_world_up=(0.0, 0.0, 1.0), width=W,
+                              height=H, fx=280.0)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    g = slab_render.FrameGeom(grid, jnp.asarray(cam.transform), cam.fx,
+                              cam.fy, perm, flip, W, H, opt, gi)
+    rng = np.random.default_rng(7)
+    inter = jnp.asarray(rng.uniform(0.0, 1.0, (gi, gi, 4)), jnp.float32)
+    ref = np.asarray(jax.jit(lambda it: slab_render._warp_to_screen_ref(
+        it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+        g.dv, g.scale))(inter))
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        B = 4
+        gys, gxs, okm, Y0, X0, fits = display_warp._sub_geometry(
+            g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0, g.dv,
+            g.scale, B=B)
+        assert bool(fits), "aligned pose must fit the 4x4 window at B=4"
+        tbl = display_warp._build_table(inter, gi)
+        qg = tbl[Y0 * (gi - 3) + X0]
+        ry = gys - Y0.astype(jnp.float32)[None]
+        rx = gxs - X0.astype(jnp.float32)[None]
+        out = display_warp._combine_emit(
+            jnp.transpose(qg, (2, 0, 1)), ry, rx, okm, H // B, W // B,
+            float(opt.background_brightness), B=B)
+        got = np.asarray(out).reshape(H, W, 4)
+        # one bf16 table ulp (values reach ~1.2 with bg composite: 8e-3)
+        np.testing.assert_allclose(got, ref, atol=8e-3)
+        assert np.any(got != ref)      # bf16 table actually used
+        # the cascade (fits4 -> fast4) must produce the same image up to
+        # f32 fusion reassociation across the different jit partitions
+        casc = np.asarray(jax.jit(
+            lambda it: display_warp.warp_to_screen_sq(
+                it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du,
+                g.v0, g.dv, g.scale, block=4))(inter))
+        np.testing.assert_allclose(casc, got, atol=1e-4)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
 
 
 def test_superquad_warp_matches_reference(scene, monkeypatch):

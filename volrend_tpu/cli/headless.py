@@ -46,8 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="poses are OpenCV convention (flip y/z)")
     p.add_argument("--renderer", choices=("slab", "exact", "oracle"),
                    default="slab")
-    p.add_argument("--gi", type=int, default=512,
-                   help="slab-renderer intermediate resolution")
+    p.add_argument("--gi", type=int, default=None,
+                   help="slab-renderer intermediate resolution "
+                        "(default: grid-matched, slab_render.default_gi)")
     return p
 
 
@@ -82,8 +83,10 @@ def main(argv=None) -> int:
 
     grid = None
     if args.renderer == "slab":
-        from volrend_tpu.ops import dense_grid
+        from volrend_tpu.ops import dense_grid, slab_render
         grid = dense_grid.bake_dense(dev)
+        if args.gi is None:
+            args.gi = slab_render.default_gi(grid)
 
     def render_one(cam) -> np.ndarray:
         if args.renderer == "oracle":

@@ -50,6 +50,7 @@ resample.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np
@@ -70,12 +71,12 @@ _BH_BUILD = 16
 _BH_COMBINE = 100
 
 
-def usable(width: int, height: int, gi: int) -> bool:
-    """Static gate: the superquad path needs even screen dims, a window
-    margin in the intermediate grid, and sub-cell-per-pixel motion (see
-    module docstring)."""
+def usable(width: int, height: int, gi: int, block: int = 2) -> bool:
+    """Static gate: the superquad path needs block-divisible screen dims, a
+    window margin in the intermediate grid, and sub-cell-per-pixel motion
+    (see module docstring)."""
     from volrend_tpu.ops import pallas_slab
-    return (width % 2 == 0 and height % 2 == 0 and gi >= 8
+    return (width % block == 0 and height % block == 0 and gi >= 8
             and gi <= min(width, height) and pallas_slab.available())
 
 
@@ -152,36 +153,36 @@ def _build_table(inter, gi: int, dtype=jnp.bfloat16):
 _EMIT_CACHE: dict = {}
 
 
-def _emit_mats(Wh: int) -> np.ndarray:
-    """(8, Wh, 4*2*Wh) one-hot lane-placement matrices: E[q*4+c, w, L] = 1
-    iff L = (2w+q)*4 + c — the dot plane_qc @ E[q*4+c] scatters subpixel
+def _emit_mats(Wh: int, B: int = 2) -> np.ndarray:
+    """(4*B, Wh, 4*B*Wh) one-hot lane-placement matrices: E[q*4+c, w, L] = 1
+    iff L = (B*w+q)*4 + c — the dot plane_qc @ E[q*4+c] scatters subpixel
     q's channel c into its interleaved screen lanes."""
-    key = Wh
+    key = (B, Wh)
     if key not in _EMIT_CACHE:
-        E = np.zeros((8, Wh, 8 * Wh), np.float32)
+        E = np.zeros((4 * B, Wh, 4 * B * Wh), np.float32)
         w = np.arange(Wh)
-        for q in range(2):
+        for q in range(B):
             for c in range(4):
-                E[q * 4 + c, w, (2 * w + q) * 4 + c] = 1.0
+                E[q * 4 + c, w, (B * w + q) * 4 + c] = 1.0
         _EMIT_CACHE[key] = E
     return _EMIT_CACHE[key]
 
 
 def _make_combine_kernel(BH: int, Wh: int, bg: float,
-                         has_mesh: bool = False):
-    W4 = 8 * Wh
+                         has_mesh: bool = False, B: int = 2):
+    W4 = 4 * B * Wh
 
     def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, *rest):
         if has_mesh:
             mp_ref, out_ref = rest
         else:
             out_ref, = rest
-        ri = jax.lax.broadcasted_iota(jnp.int32, (2 * BH, W4), 0)
-        out = jnp.zeros((2 * BH, W4), jnp.float32)
-        for p in range(2):
+        ri = jax.lax.broadcasted_iota(jnp.int32, (B * BH, W4), 0)
+        out = jnp.zeros((B * BH, W4), jnp.float32)
+        for p in range(B):
             half = jnp.zeros((BH, W4), jnp.float32)
-            for q in range(2):
-                s = p * 2 + q
+            for q in range(B):
+                s = p * B + q
                 # clamp to the window: identity for in-window taps; a
                 # rare misfit quad (projective stretch > 3 cells, image
                 # edges) snaps to the window-edge cell, not losing mass
@@ -231,20 +232,20 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
                             part, e_ref[q * 4 + c],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-            # row interleave: sublane expand x2 + parity select
-            rep2 = jnp.broadcast_to(
-                half[:, None, :], (BH, 2, W4)).reshape(2 * BH, W4)
-            out = jnp.where((ri % 2) == p, rep2, out)
+            # row interleave: sublane expand xB + parity select
+            repB = jnp.broadcast_to(
+                half[:, None, :], (BH, B, W4)).reshape(B * BH, W4)
+            out = jnp.where((ri % B) == p, repB, out)
         out_ref[...] = out
 
     return kernel
 
 
 def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
-                  mesh_planes=None):
+                  mesh_planes=None, B: int = 2):
     """(64, Hh, Wh) gathered window planes + per-subpixel positions ->
-    (2*Hh, 8*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
-    mesh_planes: optional (16, Hh, Wh) subpixel-split mesh buffers
+    (B*Hh, 4*B*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
+    mesh_planes: optional (4*B^2, Hh, Wh) subpixel-split mesh buffers
     [s*4 + (r, g, b, hit)] for per-pixel background compositing."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -253,23 +254,23 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
     cands = [b for b in range(8, min(_BH_COMBINE, Hh) + 1, 8)
              if Hh % b == 0]
     BH = max(cands) if cands else Hh
-    W4 = 8 * Wh
-    E = jnp.asarray(_emit_mats(Wh), jnp.bfloat16)
+    W4 = 4 * B * Wh
+    E = jnp.asarray(_emit_mats(Wh, B), jnp.bfloat16)
     kern = _make_combine_kernel(BH, Wh, bg,
-                                has_mesh=mesh_planes is not None)
+                                has_mesh=mesh_planes is not None, B=B)
     blk = lambda n: pl.BlockSpec((n, BH, Wh), lambda i: (0, i, 0))
-    in_specs = [blk(64), blk(4), blk(4), blk(4),
-                pl.BlockSpec((8, Wh, W4), lambda i: (0, 0, 0))]
+    in_specs = [blk(64), blk(B * B), blk(B * B), blk(B * B),
+                pl.BlockSpec((4 * B, Wh, W4), lambda i: (0, 0, 0))]
     args = [qgp, ry, rx, okm, E]
     if mesh_planes is not None:
-        in_specs.append(blk(16))
+        in_specs.append(blk(4 * B * B))
         args.append(mesh_planes)
     return pl.pallas_call(
         kern,
         grid=(Hh // BH,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((2 * BH, W4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((2 * Hh, W4), jnp.float32),
+        out_specs=pl.BlockSpec((B * BH, W4), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * Hh, W4), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -278,18 +279,19 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
 
 def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
                   perm: Tuple[int, int, int], u0, du, v0, dv, scale,
-                  ndc=None, origin=None):
-    """Per-subpixel slope-grid coordinates + the shared 4x4 window corner.
+                  ndc=None, origin=None, B: int = 2):
+    """Per-subpixel slope-grid coordinates + the shared 4x4 window corner
+    for BxB-screen-pixel superquad blocks.
 
-    Returns (gys, gxs, okm, Y0, X0, fits): (4, Hh, Wh) clipped subpixel
+    Returns (gys, gxs, okm, Y0, X0, fits): (B^2, Hh, Wh) clipped subpixel
     positions / ok masks, (Hh, Wh) int32 window corners, and the
     whole-frame bulk-misfit predicate (see warp_to_screen_sq)."""
     from volrend_tpu.ops.slab_render import _slopes_from_dirs
-    Hh, Wh = height // 2, width // 2
+    Hh, Wh = height // B, width // B
 
     def sub_slopes(p: int, q: int):
-        xs = (jnp.arange(Wh, dtype=_F32) * 2 + q - 0.5 * width) / fx
-        ys = -(jnp.arange(Hh, dtype=_F32) * 2 + p - 0.5 * height) / fy
+        xs = (jnp.arange(Wh, dtype=_F32) * B + q - 0.5 * width) / fx
+        ys = -(jnp.arange(Hh, dtype=_F32) * B + p - 0.5 * height) / fy
         d_cam = jnp.stack([
             jnp.broadcast_to(xs[None, :], (Hh, Wh)),
             jnp.broadcast_to(ys[:, None], (Hh, Wh)),
@@ -310,8 +312,8 @@ def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
                 jnp.clip(gx, 0.0, gi - 1 - 1e-6),
                 ok.astype(_F32))
 
-    subs = [sub_slopes(p, q) for p in range(2) for q in range(2)]
-    gys = jnp.stack([s[0] for s in subs])           # (4, Hh, Wh)
+    subs = [sub_slopes(p, q) for p in range(B) for q in range(B)]
+    gys = jnp.stack([s[0] for s in subs])           # (B^2, Hh, Wh)
     gxs = jnp.stack([s[1] for s in subs])
     okm = jnp.stack([s[2] for s in subs])
     # window corner from the OK subpixels only: at the image border a
@@ -338,34 +340,43 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                       perm: Tuple[int, int, int],
                       u0, du, v0, dv, scale,
                       ndc: Optional[tuple] = None, origin=None,
-                      bg_pix=None):
+                      bg_pix=None, block: int = 2):
     """Drop-in twin of slab_render._warp_to_screen (display path): warp the
-    (gi, gi, 4) intermediate image to (H, W, 4) + background composite."""
-    Hh, Wh = height // 2, width // 2
-    gys, gxs, okm, Y0, X0, fits = _sub_geometry(
-        R, fx, fy, width, height, gi, perm, u0, du, v0, dv, scale,
-        ndc=ndc, origin=origin)
+    (gi, gi, 4) intermediate image to (H, W, 4) + background composite.
 
-    mesh_planes = None
+    block: largest superquad block size to try. Each block size has a
+    per-pose misfit gate (a BxB-pixel block's bilinear footprint must fit
+    the 4x4 window); poses fall through block -> 2 -> the reference warp
+    via nested lax.cond. block=4 quarters the gather rows again and halves
+    the emit-matmul contraction; it fits whenever pixel motion is
+    <~(2/3) cell (gi <= ~0.8*W at bench-like poses)."""
+    mrgba = None
     if bg_pix is not None:
         mesh_rgb, hit = bg_pix
         mrgba = jnp.concatenate(
             [jnp.asarray(mesh_rgb, _F32),
              hit.astype(_F32)[..., None]], -1)       # (H, W, 4)
-        mesh_planes = jnp.stack(
-            [mrgba[p::2, q::2, c]
-             for p in range(2) for q in range(2) for c in range(4)], 0)
 
-    def fast(it_in):
-        tbl = _build_table(it_in, gi)
-        qg = tbl[Y0 * (gi - 3) + X0]                # (Hh, Wh, 64)
-        qgp = jnp.transpose(qg, (2, 0, 1))          # planar for the kernel
-        ry = gys - Y0.astype(_F32)[None]
-        rx = gxs - X0.astype(_F32)[None]
-        out = _combine_emit(qgp, ry, rx, okm, Hh, Wh,
-                            float(opt.background_brightness),
-                            mesh_planes=mesh_planes)
-        return out.reshape(height, width, 4)
+    def make_fast(B, gys, gxs, okm, Y0, X0):
+        Hh, Wh = height // B, width // B
+        mesh_planes = None
+        if mrgba is not None:
+            mesh_planes = jnp.stack(
+                [mrgba[p::B, q::B, c]
+                 for p in range(B) for q in range(B) for c in range(4)], 0)
+
+        def fast(it_in):
+            tbl = _build_table(it_in, gi)
+            qg = tbl[Y0 * (gi - 3) + X0]            # (Hh, Wh, 64)
+            qgp = jnp.transpose(qg, (2, 0, 1))      # planar for the kernel
+            ry = gys - Y0.astype(_F32)[None]
+            rx = gxs - X0.astype(_F32)[None]
+            out = _combine_emit(qgp, ry, rx, okm, Hh, Wh,
+                                float(opt.background_brightness),
+                                mesh_planes=mesh_planes, B=B)
+            return out.reshape(height, width, 4)
+
+        return fast
 
     def slow(it_in):
         from volrend_tpu.ops.slab_render import _warp_to_screen_ref
@@ -374,7 +385,15 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                                    precise=False, ndc=ndc, origin=origin,
                                    bg_pix=bg_pix)
 
-    return jax.lax.cond(fits, fast, slow, inter)
+    fn = slow
+    for B in sorted({b for b in (2, block)
+                     if usable(width, height, gi, block=b)}):
+        gys, gxs, okm, Y0, X0, fits = _sub_geometry(
+            R, fx, fy, width, height, gi, perm, u0, du, v0, dv, scale,
+            ndc=ndc, origin=origin, B=B)
+        fn = partial(jax.lax.cond, fits,
+                     make_fast(B, gys, gxs, okm, Y0, X0), fn)
+    return fn(inter)
 
 
 # ---------------------------------------------------------------------------

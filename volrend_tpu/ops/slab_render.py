@@ -850,10 +850,12 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
     from volrend_tpu.ops import display_warp
     if not precise:
         # display path on TPU: 2x2-screen-pixel superquad gather (4x fewer
-        # gather rows) + Pallas tent-combine — 0.51 vs 1.71 ms/frame at
-        # 800^2 (ops/display_warp.py; parity gated vs this reference path).
-        # Falls back to this reference warp per-pose (lax.cond) when a
-        # wide-FOV/grazing pose stretches a quad past the 4x4 cell window.
+        # gather rows) + Pallas tent-combine (ops/display_warp.py; parity
+        # gated vs this reference path). Falls back to this reference
+        # warp per-pose (lax.cond) when a wide-FOV/grazing pose stretches
+        # a quad past the 4x4 cell window. A 4x4-block variant exists
+        # (block=4: 16x fewer rows, fits near-axis poses only) but
+        # measured a wash in situ — see the ledger in docs/ARCHITECTURE.md.
         if display_warp.usable(width, height, gi):
             return display_warp.warp_to_screen_sq(
                 inter, opt, R, fx, fy, width, height, gi, perm,
@@ -1091,12 +1093,23 @@ def render_frame_split(grid: DenseGrid, transform, fx, fy,
                                         payloads=payloads, mesh=mesh))
 
 
+def default_gi(grid: DenseGrid) -> int:
+    """Intermediate-plane resolution matched to the volume: gi = G rounded
+    up to the 128-lane tile. PSNR is flat in gi at/above G — the voxel
+    grid, not the slope plane, limits detail (measured flat over
+    [256, 448] at G=256, tools/perf_r7.py) — while march VPU time scales
+    ~gi^2 (1.18 ms/frame at gi=256 vs 2.16 at gi=384 on v5e)."""
+    return int(min(512, max(128, -(-grid.G // 128) * 128)))
+
+
 def render_image(grid: DenseGrid, cam, opt: RenderOptions,
-                 gi: int = 512, payload_cache: Optional[dict] = None,
+                 gi: Optional[int] = None,
+                 payload_cache: Optional[dict] = None,
                  meshes: Optional[Sequence] = None,
                  host_tree=None) -> np.ndarray:
     """Camera-object convenience wrapper; returns (H, W, 4) on host.
 
+    gi: intermediate resolution; None picks default_gi(grid).
     payload_cache: optional mutable dict keyed by the full perm tuple —
     pre-permuted payloads are built lazily and reused across calls, so an
     interactive caller (the viewer) doesn't re-permute the grid per frame.
@@ -1105,6 +1118,8 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
     mesh pass, cuda_renderer.cpp:103-112). host_tree: the source N3Tree,
     for the opt.show_grid wireframe overlay.
     """
+    if gi is None:
+        gi = default_gi(grid)
     perm, flip, slope = choose_axis(
         grid, cam.transform, cam.fx, cam.fy, cam.width, cam.height)
     mesh_dist = mesh_rgb = None

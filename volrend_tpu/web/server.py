@@ -527,7 +527,7 @@ class ViewerState:
             # composite there too, so only NDC trees ever fall to exact
             if is_compat or self.grid.ndc is None:
                 img = slab_render.render_image(
-                    self.grid, self.cam, self.opt, gi=512,
+                    self.grid, self.cam, self.opt,
                     payload_cache=self._payload_cache,
                     meshes=self.meshes if any_mesh else None,
                     host_tree=self.tree)
