@@ -782,16 +782,18 @@ def test_superquad_warp_block4(scene, monkeypatch):
             jnp.transpose(qg, (2, 0, 1)), ry, rx, okm, H // B, W // B,
             float(opt.background_brightness), B=B)
         got = np.asarray(out).reshape(H, W, 4)
-        # one bf16 table ulp (values reach ~1.2 with bg composite: 8e-3)
-        np.testing.assert_allclose(got, ref, atol=8e-3)
+        # two bf16 ulps (table + display emit, values reach ~1.2 with
+        # bg composite — display_warp._EXACT_EMIT=False is production)
+        np.testing.assert_allclose(got, ref, atol=1.6e-2)
         assert np.any(got != ref)      # bf16 table actually used
         # the cascade (fits4 -> fast4) must produce the same image up to
-        # f32 fusion reassociation across the different jit partitions
+        # f32 fusion reassociation across the different jit partitions —
+        # which the display emit's bf16 rounding can amplify to one ulp
         casc = np.asarray(jax.jit(
             lambda it: display_warp.warp_to_screen_sq(
                 it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du,
                 g.v0, g.dv, g.scale, block=4))(inter))
-        np.testing.assert_allclose(casc, got, atol=1e-4)
+        np.testing.assert_allclose(casc, got, atol=1e-2)
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
@@ -800,7 +802,9 @@ def test_superquad_warp_block4(scene, monkeypatch):
 def test_superquad_warp_matches_reference(scene, monkeypatch):
     """The superquad display warp (4x-fewer-rows gather + Pallas tent
     combine, ops/display_warp.py) must match the reference quad-gather
-    warp to one bf16 table ulp, including the ok-mask/background edges."""
+    warp to two bf16 ulps (table + display emit rounding; the exact
+    hi/lo emit is pinned by the precise-warp tests), including the
+    ok-mask/background edges."""
     import jax
     from volrend_tpu.ops import display_warp, pallas_slab
     dev, grid = scene
@@ -838,8 +842,8 @@ def test_superquad_warp_matches_reference(scene, monkeypatch):
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
-    # one bf16 table ulp on display-range values + f16-vs-bf16 combine
-    np.testing.assert_allclose(got, ref, atol=6e-3)
+    # two bf16 ulps on display-range values + f16-vs-bf16 combine
+    np.testing.assert_allclose(got, ref, atol=1.2e-2)
     # the FAST branch must have run: its bf16 table rounds values the
     # f16 reference keeps (bit-equality would mean the lax.cond fell back)
     assert np.any(got != ref)
@@ -926,7 +930,7 @@ def test_superquad_warp_ndc(monkeypatch):
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
-    np.testing.assert_allclose(got, ref, atol=6e-3)
+    np.testing.assert_allclose(got, ref, atol=1.2e-2)
 
 
 def test_superquad_warp_mesh_bg(scene, monkeypatch):
@@ -965,10 +969,16 @@ def test_superquad_warp_mesh_bg(scene, monkeypatch):
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
-    np.testing.assert_allclose(got, ref, atol=6e-3)
+    np.testing.assert_allclose(got, ref, atol=1.2e-2)
     assert np.any(got != ref)       # fast branch ran (bf16 table)
-    # alpha forced 1 on mesh pixels on both paths
-    np.testing.assert_array_equal(got[..., 3] >= 1.0, np.asarray(hit))
+    # alpha forced 1 on mesh pixels (exact: 1.0 is bf16-representable);
+    # a non-mesh alpha a hair under 1 may round UP to 1.0 in the display
+    # emit, so the converse only holds to one bf16 ulp
+    hit_np = np.asarray(hit)
+    assert np.all(got[..., 3][hit_np] >= 1.0)
+    assert np.all(got[..., 3][~hit_np] <= 1.0 + 4e-3)
+    ref_not1 = ref[..., 3][~hit_np] < 0.996
+    assert not np.all(got[..., 3][~hit_np][ref_not1] >= 1.0)
 
 
 def test_full_resolution_800_parity_mesh():

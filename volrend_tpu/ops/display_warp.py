@@ -11,7 +11,10 @@ copies. This module rebuilds the warp around three measured facts:
 1. **4x fewer gather rows**: gather one 128-byte row per 2x2 SCREEN pixel
    block — each row packs the 4x4 intermediate-cell window
    [Y0..Y0+3, X0..X0+3] covering all four subpixels' bilinear footprints
-   (64 bf16 channels). 160k rows gather in ~0.2 ms.
+   (64 bf16 channels). 160k rows gather in ~0.2 ms. (The block size is a
+   parameter; 4x4 blocks — 16x fewer rows, same window — compile and are
+   parity-gated but measured a wash in situ and are parked: only
+   near-slab-axis poses fit the window. See docs/ARCHITECTURE.md ledger.)
 2. **The row table must be built without XLA minor-dim concats** (those
    cost ~1.5 ms/frame of 20x-roofline copies; a one-hot conv lowers to a
    kLoop fusion at ~1.3 ms — both measured, tools/perf_sq4.py). Instead a
@@ -69,6 +72,12 @@ _BH_BUILD = 16
 #: OOMs Mosaic's 100 MB scoped VMEM in some pose-group compiles; 100
 #: (M pads 80->128) is safe
 _BH_COMBINE = 100
+#: f32-exact emit via bf16 hi/lo double-dot. The DISPLAY default is False
+#: (single hi dot): one extra bf16 ulp costs 1.0 dB at bench settings
+#: (55.35 -> 54.32 dB vs exact, still grid-dominated) and buys 6.7%
+#: frame rate (2.22 -> 2.08 ms/frame at 800^2/gi=256, tools/perf_r10.py).
+#: The precise/training path always forces exact=True.
+_EXACT_EMIT = False
 
 
 def usable(width: int, height: int, gi: int, block: int = 2) -> bool:
@@ -169,7 +178,8 @@ def _emit_mats(Wh: int, B: int = 2) -> np.ndarray:
 
 
 def _make_combine_kernel(BH: int, Wh: int, bg: float,
-                         has_mesh: bool = False, B: int = 2):
+                         has_mesh: bool = False, B: int = 2,
+                         exact: bool = True):
     W4 = 4 * B * Wh
 
     def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, *rest):
@@ -220,14 +230,18 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
                             bgc = bg
                         plane = jnp.where(
                             ok > 0.5, rgba[c] + bgc * (1.0 - alpha), bgc)
-                    # one-hot placement dot, exact in f32: bf16 hi/lo
-                    # split (the MXU is bf16; two passes reconstruct the
-                    # f32 plane, so the only rounding left in the whole
-                    # path is the bf16 table — one display ulp)
+                    # one-hot placement dot (the MXU is bf16). exact:
+                    # bf16 hi/lo split — two passes reconstruct the f32
+                    # plane, leaving only the bf16 table's rounding (one
+                    # display ulp; the precise/training path requires
+                    # this). Display default: hi only — one more bf16
+                    # ulp, half the emit MXU work (see _EXACT_EMIT).
                     hi = plane.astype(jnp.bfloat16)
-                    lo = (plane - hi.astype(jnp.float32)).astype(
-                        jnp.bfloat16)
-                    for part in (hi, lo):
+                    parts = (hi,)
+                    if exact:
+                        parts = (hi, (plane - hi.astype(jnp.float32))
+                                 .astype(jnp.bfloat16))
+                    for part in parts:
                         half = half + jax.lax.dot_general(
                             part, e_ref[q * 4 + c],
                             (((1,), (0,)), ((), ())),
@@ -242,7 +256,8 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
 
 
 def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
-                  mesh_planes=None, B: int = 2):
+                  mesh_planes=None, B: int = 2,
+                  exact: Optional[bool] = None):
     """(64, Hh, Wh) gathered window planes + per-subpixel positions ->
     (B*Hh, 4*B*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
     mesh_planes: optional (4*B^2, Hh, Wh) subpixel-split mesh buffers
@@ -255,9 +270,12 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
              if Hh % b == 0]
     BH = max(cands) if cands else Hh
     W4 = 4 * B * Wh
+    if exact is None:
+        exact = _EXACT_EMIT
     E = jnp.asarray(_emit_mats(Wh, B), jnp.bfloat16)
     kern = _make_combine_kernel(BH, Wh, bg,
-                                has_mesh=mesh_planes is not None, B=B)
+                                has_mesh=mesh_planes is not None, B=B,
+                                exact=exact)
     blk = lambda n: pl.BlockSpec((n, BH, Wh), lambda i: (0, i, 0))
     in_specs = [blk(64), blk(B * B), blk(B * B), blk(B * B),
                 pl.BlockSpec((4 * B, Wh, W4), lambda i: (0, 0, 0))]
@@ -523,7 +541,7 @@ def _precise_fwd(inter, geom, statics):
     qgp = jnp.transpose(qg, (2, 0, 1))
     ry = gys - Y0.astype(_F32)[None]
     rx = gxs - X0.astype(_F32)[None]
-    out = _combine_emit(qgp, ry, rx, okm, Hh, Wh, opt_bg)
+    out = _combine_emit(qgp, ry, rx, okm, Hh, Wh, opt_bg, exact=True)
     return out.reshape(height, width, 4), (ry, rx, okm, flat)
 
 
