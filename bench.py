@@ -126,13 +126,18 @@ def main():
     # ALL pose groups inside one jitted call: every dispatch through the
     # tunnel costs a ~26 ms round trip, so the whole benchmark is a single
     # dispatch + a single host transfer
+    # out_dtype=uint8: the display frames leave the combine kernel as
+    # RGBA8 (the reference's surf2Dwrite RGBA8 framebuffer,
+    # volrend.cu:166-172) — quarters the emitted/stacked frame bytes.
+    # The quality gate below renders with the SAME setting so the knob
+    # is priced into psnr_vs_exact.
     @partial(jax.jit, static_argnames=("pf",))
     def render_all(grid, trs_list, pays, pf):
         outs = []
         for (perm, flip), trs, pay in zip(pf, trs_list, pays):
             out = slab_render.render_frames(
                 grid, trs, fx, fy, perm, flip, W, H, opt, gi=256,
-                payload=pay)
+                payload=pay, out_dtype=jnp.uint8)
             outs.append(jnp.sum(out, dtype=jnp.float32, axis=(1, 2)))
         return jnp.concatenate(outs)
 
@@ -166,7 +171,7 @@ def main():
         grid, cam.transform, cam.fx, cam.fy, W, H)
     frame = np.asarray(slab_render.render_frame(
         grid, jnp.asarray(cam.transform), fx, fy, perm, flip, W, H, opt,
-        gi=256))
+        gi=256, out_dtype=jnp.uint8)).astype(np.float32) / 255.0
     ys = np.arange(0, H, 5)
     xs = np.arange(0, W, 5)
     origins, dirs = cam.pixel_rays(xp=np)

@@ -774,18 +774,24 @@ def test_superquad_warp_block4(scene, monkeypatch):
             g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0, g.dv,
             g.scale, B=B)
         assert bool(fits), "aligned pose must fit the 4x4 window at B=4"
-        tbl = display_warp._build_table(inter, gi)
+        # the display default table dtype (int8 x127 fixed point when
+        # display_warp._TABLE_INT8), so the direct build mirrors what the
+        # warp_to_screen_sq cascade runs
+        tdt = jnp.int8 if display_warp._TABLE_INT8 else jnp.bfloat16
+        tbl = display_warp._build_table(inter, gi, dtype=tdt)
         qg = tbl[Y0 * (gi - 3) + X0]
         ry = gys - Y0.astype(jnp.float32)[None]
         rx = gxs - X0.astype(jnp.float32)[None]
         out = display_warp._combine_emit(
             jnp.transpose(qg, (2, 0, 1)), ry, rx, okm, H // B, W // B,
-            float(opt.background_brightness), B=B)
+            float(opt.background_brightness), B=B,
+            qscale=(1.0 / 127.0 if tdt == jnp.int8 else 1.0))
         got = np.asarray(out).reshape(H, W, 4)
-        # two bf16 ulps (table + display emit, values reach ~1.2 with
-        # bg composite — display_warp._EXACT_EMIT=False is production)
+        # one display quantum (int8 table) + display-emit bf16 ulp
+        # (values reach ~1.2 with bg composite —
+        # display_warp._EXACT_EMIT=False is production)
         np.testing.assert_allclose(got, ref, atol=1.6e-2)
-        assert np.any(got != ref)      # bf16 table actually used
+        assert np.any(got != ref)      # quantized table actually used
         # the cascade (fits4 -> fast4) must produce the same image up to
         # f32 fusion reassociation across the different jit partitions —
         # which the display emit's bf16 rounding can amplify to one ulp
@@ -850,6 +856,46 @@ def test_superquad_warp_matches_reference(scene, monkeypatch):
     # the ok mask must agree exactly (the slope grid is built from the
     # image corners, so at this focal every pixel lands inside: no bg)
     np.testing.assert_array_equal(got[..., 3] == 0.0, ref[..., 3] == 0.0)
+
+
+def test_superquad_warp_uint8_out(scene, monkeypatch):
+    """out_dtype=jnp.uint8 emits RGBA8 straight from the combine kernel
+    (the reference's surf2Dwrite RGBA8 display write-out,
+    volrend.cu:166-172): the u8 frame must equal the f32 frame quantized,
+    to one display quantum (kernel-vs-XLA rounding at .5 boundaries)."""
+    import jax
+    from volrend_tpu.ops import display_warp, pallas_slab
+    dev, grid = scene
+    W = H = 200
+    gi = 96
+    back = np.asarray((1.0, 0.25, 0.35))
+    back /= np.linalg.norm(back)
+    cam = Camera.from_vectors(center=tuple(2.5 * back), v_back=tuple(back),
+                              v_world_up=(0.0, 0.0, 1.0), width=W,
+                              height=H, fx=280.0)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    g = slab_render.FrameGeom(grid, jnp.asarray(cam.transform), cam.fx,
+                              cam.fy, perm, flip, W, H, opt, gi)
+    rng = np.random.default_rng(11)
+    inter = jnp.asarray(rng.uniform(0.0, 1.0, (gi, gi, 4)), jnp.float32)
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        assert display_warp.usable(W, H, gi)
+        f32 = np.asarray(jax.jit(lambda it: display_warp.warp_to_screen_sq(
+            it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+            g.dv, g.scale))(inter))
+        u8 = np.asarray(jax.jit(lambda it: display_warp.warp_to_screen_sq(
+            it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+            g.dv, g.scale, out_dtype=jnp.uint8))(inter))
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    assert u8.dtype == np.uint8
+    want = np.round(np.clip(f32, 0.0, 1.0) * 255.0)
+    assert np.max(np.abs(u8.astype(np.float64) - want)) <= 1.0
 
 
 def test_superquad_warp_wide_fov_falls_back(scene, monkeypatch):

@@ -143,11 +143,16 @@ def main(argv=None) -> int:
             frames = [None] * len(cams)
             # dispatch every group before downloading any (async device
             # arrays): group k+1 computes while group k transfers/writes
+            # out_dtype=uint8: RGBA8 display frames off the combine
+            # kernel (the reference's framebuffer format,
+            # volrend.cu:166-172) — 4x fewer bytes on-device AND over
+            # the device->host download the PNG writer consumes
             pend = [(idxs, slab_render.render_frames(
                 grid, jnp.asarray(
                     np.stack([cams[i].transform for i in idxs]),
                     jnp.float32),
-                fx, fy, perm, flip, width, height, opt, gi=args.gi))
+                fx, fy, perm, flip, width, height, opt, gi=args.gi,
+                out_dtype=jnp.uint8))
                 for (perm, flip), idxs in groups.items()]
             for idxs, out_dev in pend:
                 out = np.asarray(out_dev)

@@ -78,6 +78,14 @@ _BH_COMBINE = 100
 #: frame rate (2.22 -> 2.08 ms/frame at 800^2/gi=256, tools/perf_r10.py).
 #: The precise/training path always forces exact=True.
 _EXACT_EMIT = False
+#: display-path window-table dtype: int8 (values quantized to [0,127] —
+#: one display quantum, max error 0.5/127 ≈ 1/255 ≈ the bf16 table's ulp
+#: at 1.0) halves the gathered-table bytes, and with them the one XLA
+#: relayout the path still pays (the gather-output planarize feeding the
+#: combine kernel: 20 MB bf16 = 0.096 ms/frame of copy.76 at 800^2,
+#: profiled tools/perf_r8/r11). The precise/training path always builds
+#: f32 tables (make_warp_precise) and is unaffected.
+_TABLE_INT8 = True
 
 
 def usable(width: int, height: int, gi: int, block: int = 2) -> bool:
@@ -117,7 +125,9 @@ def _make_build(gi: int, group: int, dtype=jnp.bfloat16):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     W3 = gi - 3
-    BH = _BH_BUILD
+    # int8 VMEM tiling is (32, 128): the dynamic sublane offset i*BH and
+    # the output block's second-minor dim must stay tile-aligned
+    BH = 32 if dtype == jnp.int8 else _BH_BUILD
     nb = -(-W3 // BH)
 
     def kernel(it_ref, out_ref):
@@ -141,10 +151,15 @@ def _make_build(gi: int, group: int, dtype=jnp.bfloat16):
 
 def _build_table(inter, gi: int, dtype=jnp.bfloat16):
     """(gi, gi, 4) f32 -> ((gi-3)^2, 64) window-row table (as the free
-    transpose of the planar Pallas build). bf16 on the display path, f32
-    on the precise (training) path."""
+    transpose of the planar Pallas build). int8 (x127 fixed point, see
+    _TABLE_INT8) on the display path, f32 on the precise (training)
+    path."""
     W3 = gi - 3
-    itp = jnp.transpose(inter, (2, 0, 1)).astype(dtype)
+    itp = jnp.transpose(inter, (2, 0, 1))
+    if dtype == jnp.int8:
+        itp = jnp.round(jnp.clip(itp, 0.0, 1.0) * 127.0).astype(jnp.int8)
+    else:
+        itp = itp.astype(dtype)
     parts = []
     for g in range(4):
         call, Hp = _make_build(gi, g, dtype)
@@ -179,7 +194,8 @@ def _emit_mats(Wh: int, B: int = 2) -> np.ndarray:
 
 def _make_combine_kernel(BH: int, Wh: int, bg: float,
                          has_mesh: bool = False, B: int = 2,
-                         exact: bool = True):
+                         exact: bool = True, qscale: float = 1.0,
+                         out_dtype=jnp.float32):
     W4 = 4 * B * Wh
 
     def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, *rest):
@@ -210,7 +226,8 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
                         for cx in range(4):
                             acc = acc + (wy[cy] * wx[cx]) * qg_ref[
                                 _chan(cy, cx, c)].astype(jnp.float32)
-                    rgba.append(acc)
+                    # int8 table dequant: one multiply per channel plane
+                    rgba.append(acc * qscale if qscale != 1.0 else acc)
                 alpha = rgba[3]
                 if has_mesh:
                     # per-pixel background = mesh color where the mesh
@@ -250,14 +267,21 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
             repB = jnp.broadcast_to(
                 half[:, None, :], (BH, B, W4)).reshape(B * BH, W4)
             out = jnp.where((ri % B) == p, repB, out)
-        out_ref[...] = out
+        if out_dtype == jnp.uint8:
+            # RGBA8 display write-out (the reference's surf2Dwrite RGBA8,
+            # volrend.cu:166-172): quarters the emitted frame bytes
+            out_ref[...] = jnp.round(
+                jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        else:
+            out_ref[...] = out.astype(out_dtype)
 
     return kernel
 
 
 def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
                   mesh_planes=None, B: int = 2,
-                  exact: Optional[bool] = None):
+                  exact: Optional[bool] = None, qscale: float = 1.0,
+                  out_dtype=jnp.float32):
     """(64, Hh, Wh) gathered window planes + per-subpixel positions ->
     (B*Hh, 4*B*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
     mesh_planes: optional (4*B^2, Hh, Wh) subpixel-split mesh buffers
@@ -275,7 +299,8 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
     E = jnp.asarray(_emit_mats(Wh, B), jnp.bfloat16)
     kern = _make_combine_kernel(BH, Wh, bg,
                                 has_mesh=mesh_planes is not None, B=B,
-                                exact=exact)
+                                exact=exact, qscale=qscale,
+                                out_dtype=out_dtype)
     blk = lambda n: pl.BlockSpec((n, BH, Wh), lambda i: (0, i, 0))
     in_specs = [blk(64), blk(B * B), blk(B * B), blk(B * B),
                 pl.BlockSpec((4 * B, Wh, W4), lambda i: (0, 0, 0))]
@@ -288,7 +313,7 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
         grid=(Hh // BH,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((B * BH, W4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * Hh, W4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * Hh, W4), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -353,12 +378,22 @@ def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
     return gys, gxs, okm, Y0, X0, fits
 
 
+def to_display_dtype(x, out_dtype):
+    """Convert a float rgba frame to the requested display dtype (uint8 =
+    the reference's RGBA8 write-out; None = keep)."""
+    if out_dtype is None or x.dtype == out_dtype:
+        return x
+    if out_dtype == jnp.uint8:
+        return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return x.astype(out_dtype)
+
+
 def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                       width: int, height: int, gi: int,
                       perm: Tuple[int, int, int],
                       u0, du, v0, dv, scale,
                       ndc: Optional[tuple] = None, origin=None,
-                      bg_pix=None, block: int = 2):
+                      bg_pix=None, block: int = 2, out_dtype=None):
     """Drop-in twin of slab_render._warp_to_screen (display path): warp the
     (gi, gi, 4) intermediate image to (H, W, 4) + background composite.
 
@@ -384,24 +419,29 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                  for p in range(B) for q in range(B) for c in range(4)], 0)
 
         def fast(it_in):
-            tbl = _build_table(it_in, gi)
+            tdt = jnp.int8 if _TABLE_INT8 else jnp.bfloat16
+            tbl = _build_table(it_in, gi, dtype=tdt)
             qg = tbl[Y0 * (gi - 3) + X0]            # (Hh, Wh, 64)
             qgp = jnp.transpose(qg, (2, 0, 1))      # planar for the kernel
             ry = gys - Y0.astype(_F32)[None]
             rx = gxs - X0.astype(_F32)[None]
             out = _combine_emit(qgp, ry, rx, okm, Hh, Wh,
                                 float(opt.background_brightness),
-                                mesh_planes=mesh_planes, B=B)
+                                mesh_planes=mesh_planes, B=B,
+                                qscale=(1.0 / 127.0 if tdt == jnp.int8
+                                        else 1.0),
+                                out_dtype=(out_dtype or jnp.float32))
             return out.reshape(height, width, 4)
 
         return fast
 
     def slow(it_in):
         from volrend_tpu.ops.slab_render import _warp_to_screen_ref
-        return _warp_to_screen_ref(it_in, opt, R, fx, fy, width, height,
-                                   gi, perm, u0, du, v0, dv, scale,
-                                   precise=False, ndc=ndc, origin=origin,
-                                   bg_pix=bg_pix)
+        return to_display_dtype(_warp_to_screen_ref(
+            it_in, opt, R, fx, fy, width, height,
+            gi, perm, u0, du, v0, dv, scale,
+            precise=False, ndc=ndc, origin=origin,
+            bg_pix=bg_pix), out_dtype)
 
     fn = slow
     for B in sorted({b for b in (2, block)

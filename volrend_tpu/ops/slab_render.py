@@ -224,8 +224,11 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
                  perm: Tuple[int, int, int], flip: bool,
                  width: int, height: int, opt: RenderOptions,
                  gi: int = 512, payload=None,
-                 mesh_dist=None, mesh_rgb=None):
-    """Render one pinhole frame; returns (H, W, 4) float32 RGBA.
+                 mesh_dist=None, mesh_rgb=None, out_dtype=None):
+    """Render one pinhole frame; returns (H, W, 4) RGBA (float32 by
+    default; out_dtype=jnp.uint8 emits the reference's RGBA8 display
+    write-out — volrend.cu:166-172 — straight from the combine kernel,
+    quartering the emitted frame bytes).
 
     transform: (3,4) C2W [right|up|back|center]; fx/fy scalars (traced ok).
     perm/flip: from choose_axis (static -> 6 cached compilations max).
@@ -245,7 +248,7 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
             else (jnp.asarray(mesh_dist, _F32), jnp.asarray(mesh_rgb, _F32)))
     return _render_frame_impl(grid, gdata, transform, fx, fy, perm, flip,
                               width, height, opt, gi, use_pallas,
-                              mesh=mesh)
+                              mesh=mesh, out_dtype=out_dtype)
 
 
 def prepare_payload(grid: DenseGrid, perm: Tuple[int, int, int],
@@ -263,11 +266,11 @@ def prepare_payload(grid: DenseGrid, perm: Tuple[int, int, int],
 
 
 @partial(jax.jit, static_argnames=("perm", "flip", "width", "height",
-                                   "gi", "opt"))
+                                   "gi", "opt", "out_dtype"))
 def render_frames(grid: DenseGrid, transforms, fx, fy,
                   perm: Tuple[int, int, int], flip: bool,
                   width: int, height: int, opt: RenderOptions,
-                  gi: int = 512, payload=None):
+                  gi: int = 512, payload=None, out_dtype=None):
     """Render a batch of poses sharing one (perm, flip) group; the permuted
     grid copy is materialized once for the whole batch (or passed in
     pre-permuted via ``payload`` — see prepare_payload). Returns
@@ -280,7 +283,8 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
     if not use_pallas:
         def one(tr):
             return _render_frame_impl(grid, gdata, tr, fx, fy, perm, flip,
-                                      width, height, opt, gi, use_pallas)
+                                      width, height, opt, gi, use_pallas,
+                                      out_dtype=out_dtype)
 
         return lax.map(one, transforms)
 
@@ -300,7 +304,8 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
         params, zb, R, u0, du, v0, dv, origin = args
         return _pallas_march_finalize(
             grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
-            flip, width, height, opt, gi, origin=origin)
+            flip, width, height, opt, gi, origin=origin,
+            out_dtype=out_dtype)
 
     return lax.map(one, stacked)
 
@@ -326,7 +331,7 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
                            u0, du, v0, dv, fx, fy,
                            perm: Tuple[int, int, int], flip: bool,
                            width: int, height: int, opt: RenderOptions,
-                           gi: int, origin=None, mesh=None):
+                           gi: int, origin=None, mesh=None, out_dtype=None):
     """March one pose through the fused kernel, then finalize + warp
     (shared by the single-pose and batched paths)."""
     from volrend_tpu.ops import pallas_slab
@@ -349,7 +354,8 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
     stopped = T < _F32(opt.stop_thresh)
     return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
                               width, height, gi, perm, u0, du, v0, dv,
-                              grid.scale, origin=origin, mesh=mesh)
+                              grid.scale, origin=origin, mesh=mesh,
+                              out_dtype=out_dtype)
 
 
 def _bbox_full(opt: RenderOptions) -> bool:
@@ -647,7 +653,7 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
                        perm: Tuple[int, int, int], flip: bool,
                        width: int, height: int, opt: RenderOptions,
                        gi: int, use_pallas: bool = False, mesh=None,
-                       unit_slope_box: bool = False):
+                       unit_slope_box: bool = False, out_dtype=None):
     G = grid.G
     D = grid.data_dim
     bd = grid.basis_dim
@@ -671,7 +677,8 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         params, zb = _pallas_frame_fields(grid, g, perm, flip, opt)
         return _pallas_march_finalize(
             grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
-            flip, width, height, opt, gi, origin=g.origin_w, mesh=mesh)
+            flip, width, height, opt, gi, origin=g.origin_w, mesh=mesh,
+            out_dtype=out_dtype)
 
     # Key restructuring for TPU dataflow: shade (SH -> rgb) *per voxel in
     # slab layout* first, then resample only 4 channels [sigma, sigma*rgb]
@@ -812,7 +819,8 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
 
 def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
                        width: int, height: int, gi: int, perm,
-                       u0, du, v0, dv, scale, origin=None, mesh=None):
+                       u0, du, v0, dv, scale, origin=None, mesh=None,
+                       out_dtype=None):
     # ---- finalize (rt_core.cuh:176-194 semantics) -------------------------
     renorm = stopped & opt.renormalize
     if opt.render_depth:
@@ -831,13 +839,14 @@ def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
         bg_pix = (mesh_rgb, jnp.isfinite(mesh_dist))
     return _warp_to_screen(inter, opt, R, fx, fy, width, height, gi, perm,
                            u0, du, v0, dv, scale, ndc=grid.ndc,
-                           origin=origin, bg_pix=bg_pix)
+                           origin=origin, bg_pix=bg_pix,
+                           out_dtype=out_dtype)
 
 
 def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
                     width: int, height: int, gi: int, perm,
                     u0, du, v0, dv, scale, precise: bool = False,
-                    ndc=None, origin=None, bg_pix=None):
+                    ndc=None, origin=None, bg_pix=None, out_dtype=None):
     """Projective bilinear warp of the (gi, gi, 4) intermediate image to the
     (height, width, 4) screen, plus background compositing. Linear in
     ``inter`` (autodiff-friendly: gathers transpose to scatters).
@@ -860,7 +869,7 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
             return display_warp.warp_to_screen_sq(
                 inter, opt, R, fx, fy, width, height, gi, perm,
                 u0, du, v0, dv, scale, ndc=ndc, origin=origin,
-                bg_pix=bg_pix)
+                bg_pix=bg_pix, out_dtype=out_dtype)
     # NOTE: a superquad PRECISE warp with a hand-written VJP exists
     # (display_warp.make_warp_precise, gradient-parity gated) but
     # measured SLOWER in the training step than autodiff of this
@@ -868,10 +877,12 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
     # the f32 window table moves 4x the display path's bytes and the
     # adjoint's relayout transposes re-spend the 4x-fewer-scatter-rows
     # win). Parked; the training path keeps the reference warp.
-    return _warp_to_screen_ref(inter, opt, R, fx, fy, width, height, gi,
-                               perm, u0, du, v0, dv, scale,
-                               precise=precise, ndc=ndc, origin=origin,
-                               bg_pix=bg_pix)
+    from volrend_tpu.ops.display_warp import to_display_dtype
+    return to_display_dtype(
+        _warp_to_screen_ref(inter, opt, R, fx, fy, width, height, gi,
+                            perm, u0, du, v0, dv, scale,
+                            precise=precise, ndc=ndc, origin=origin,
+                            bg_pix=bg_pix), out_dtype)
 
 
 def _warp_to_screen_ref(inter, opt: RenderOptions, R, fx, fy,
@@ -1106,8 +1117,12 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
                  gi: Optional[int] = None,
                  payload_cache: Optional[dict] = None,
                  meshes: Optional[Sequence] = None,
-                 host_tree=None) -> np.ndarray:
+                 host_tree=None, out_dtype=None) -> np.ndarray:
     """Camera-object convenience wrapper; returns (H, W, 4) on host.
+
+    out_dtype=jnp.uint8 downloads RGBA8 display frames (4x smaller
+    device->host transfer — the reference's framebuffer format; the
+    split-frame fallback stitches in f32 and converts at the end).
 
     gi: intermediate resolution; None picks default_gi(grid).
     payload_cache: optional mutable dict keyed by the full perm tuple —
@@ -1141,10 +1156,12 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
                 if np.isfinite(buf.dist).any():
                     md = buf.dist.astype(np.float16)
                     mr = buf.color.astype(np.float16)
-            return render_frame_split(grid, cam.transform, cam.fx,
-                                      cam.fy, cam.width, cam.height, opt,
-                                      gi=gi, payload_cache=payload_cache,
-                                      mesh_dist=md, mesh_rgb=mr)
+            out = render_frame_split(grid, cam.transform, cam.fx,
+                                     cam.fy, cam.width, cam.height, opt,
+                                     gi=gi, payload_cache=payload_cache,
+                                     mesh_dist=md, mesh_rgb=mr)
+            from volrend_tpu.ops.display_warp import to_display_dtype
+            return np.asarray(to_display_dtype(out, out_dtype))
         raise ValueError("pose not renderable by the slab path "
                          "(rays straddle the slab axis); use render_jax")
     if opt.show_grid and host_tree is not None:
@@ -1170,5 +1187,5 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
     out = render_frame(grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
                        perm, flip, cam.width, cam.height, opt, gi,
                        payload=payload, mesh_dist=mesh_dist,
-                       mesh_rgb=mesh_rgb)
+                       mesh_rgb=mesh_rgb, out_dtype=out_dtype)
     return np.asarray(out)

@@ -526,11 +526,15 @@ class ViewerState:
             # slab passes (render_image routes internally) — meshes
             # composite there too, so only NDC trees ever fall to exact
             if is_compat or self.grid.ndc is None:
+                # RGBA8 display download (4x smaller device->host
+                # transfer through the tunnel; the PNG encode consumes
+                # u8 anyway — the reference's framebuffer format)
+                import jax.numpy as _jnp
                 img = slab_render.render_image(
                     self.grid, self.cam, self.opt,
                     payload_cache=self._payload_cache,
                     meshes=self.meshes if any_mesh else None,
-                    host_tree=self.tree)
+                    host_tree=self.tree, out_dtype=_jnp.uint8)
                 if is_compat:
                     self.last_backend = (
                         "slab-pallas"
