@@ -135,6 +135,37 @@ def test_leaf_sharded_tree_matches(setup):
     np.testing.assert_allclose(out, single, atol=2e-5, rtol=1e-5)
 
 
+def test_leaf_sharded_train_grads_match_single(setup):
+    """TP training: rows sharded at rest, gathered for compute, grads
+    psum_scatter'd back (ZeRO-3 pattern) — loss and the owned gradient
+    rows must match the single-device fused VJP."""
+    from volrend_tpu.parallel import leaf_shard
+    dev, origins, dirs, opt = setup
+    target = np.full((origins.shape[0], 4), 0.4, np.float32)
+
+    def loss_fn(dat):
+        out = grad_mod.render_rays_train(
+            dev, jnp.asarray(origins), jnp.asarray(dirs), opt, data=dat)
+        diff = out[:, :3] - jnp.asarray(target)[:, :3]
+        return jnp.sum(diff * diff) / (3.0 * origins.shape[0])
+
+    data32 = jnp.asarray(dev.data, jnp.float32)
+    ref_loss, ref_g = jax.value_and_grad(loss_fn)(data32)
+
+    mesh = dist.make_mesh(jax.devices()[:4])
+    tree_s, rps = leaf_shard.shard_tree_leaves(dev, mesh)
+    o, d, n = dist.shard_rays(origins, dirs, mesh)
+    tgt = dist.shard_rays(target, np.zeros_like(target[:, :3]), mesh)[0]
+    rows = tree_s.data.astype(jnp.float32)
+    loss, g = leaf_shard.loss_and_grad_leaf_sharded(
+        tree_s, rows, o, d, tgt, opt, mesh)
+    assert g.shape == rows.shape
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g)[:ref_g.shape[0]],
+                               np.asarray(ref_g), atol=2e-5, rtol=1e-4)
+
+
 def test_multi_scene_sharded_multiple_per_group(setup):
     """S > mesh['scene']: each scene group scans over its local scenes
     (4 scenes on a 2-group axis), and bad shapes fail with clear errors."""

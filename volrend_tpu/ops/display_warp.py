@@ -269,9 +269,11 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
             out = jnp.where((ri % B) == p, repB, out)
         if out_dtype == jnp.uint8:
             # RGBA8 display write-out (the reference's surf2Dwrite RGBA8,
-            # volrend.cu:166-172): quarters the emitted frame bytes
-            out_ref[...] = jnp.round(
-                jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            # volrend.cu:166-172). Mosaic cannot lower a f32->uint8 cast
+            # in-kernel (r3 bench crash, BENCH_r03.json): emit the rounded
+            # display values as f32 and convert to uint8 in XLA right
+            # after the pallas_call (_combine_emit).
+            out_ref[...] = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0)
         else:
             out_ref[...] = out.astype(out_dtype)
 
@@ -301,6 +303,9 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
                                 has_mesh=mesh_planes is not None, B=B,
                                 exact=exact, qscale=qscale,
                                 out_dtype=out_dtype)
+    # Mosaic cannot cast f32->uint8 in-kernel: the kernel emits rounded
+    # f32 display values; the uint8 convert happens here in XLA.
+    kdtype = jnp.float32 if out_dtype == jnp.uint8 else out_dtype
     blk = lambda n: pl.BlockSpec((n, BH, Wh), lambda i: (0, i, 0))
     in_specs = [blk(64), blk(B * B), blk(B * B), blk(B * B),
                 pl.BlockSpec((4 * B, Wh, W4), lambda i: (0, 0, 0))]
@@ -308,16 +313,19 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
     if mesh_planes is not None:
         in_specs.append(blk(4 * B * B))
         args.append(mesh_planes)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(Hh // BH,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((B * BH, W4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * Hh, W4), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B * Hh, W4), kdtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
+    if out_dtype == jnp.uint8:
+        out = out.astype(jnp.uint8)
+    return out
 
 
 def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,

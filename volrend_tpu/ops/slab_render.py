@@ -219,7 +219,7 @@ def _slopes_from_dirs(d_tree, perm):
 
 
 @partial(jax.jit, static_argnames=("perm", "flip", "width", "height",
-                                   "gi", "opt"))
+                                   "gi", "opt", "out_dtype"))
 def render_frame(grid: DenseGrid, transform, fx, fy,
                  perm: Tuple[int, int, int], flip: bool,
                  width: int, height: int, opt: RenderOptions,

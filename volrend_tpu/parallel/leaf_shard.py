@@ -33,7 +33,8 @@ from volrend_tpu.models.n3tree import TreeArrays
 from volrend_tpu.ops import render_jax
 from volrend_tpu.utils.options import RenderOptions
 
-__all__ = ["ShardedLeaves", "shard_tree_leaves", "render_rays_leaf_sharded"]
+__all__ = ["ShardedLeaves", "shard_tree_leaves", "render_rays_leaf_sharded",
+           "loss_and_grad_leaf_sharded"]
 
 
 def _register(cls):
@@ -131,3 +132,55 @@ def render_rays_leaf_sharded(tree: TreeArrays, origins, dirs,
                        in_specs=(spec, P(axis_name), P(axis_name)),
                        out_specs=P(axis_name), check_vma=False)
     return fn(tree, origins, dirs)
+
+
+@partial(jax.jit, static_argnames=("opt", "mesh", "axis_name"))
+def loss_and_grad_leaf_sharded(tree: TreeArrays, rows, origins, dirs,
+                               target, opt: RenderOptions, mesh: Mesh,
+                               axis_name: str = "rays"):
+    """TP training step core: leaf payloads sharded at rest, gathered for
+    compute, gradients scattered back — the ZeRO-3/FSDP pattern on the
+    renderer's leaf table.
+
+    The per-step fetch collectives of the serving path (``fetch_rows``)
+    would make the backward a collective per march step; for training the
+    right TPU shape is one ``all_gather`` of the rows up front (XLA
+    overlaps it with ray setup), the fused re-march VJP on the gathered
+    table, then one ``psum_scatter`` returning each device the gradient
+    rows it owns. Parameters, optimizer state, and gradients stay sharded
+    at rest — only the transient f32 gather is full-size, and it frees at
+    step end (the regime CLAUDE.md calls leaf-sharded multi-chip training).
+
+    rows: (rows_per_shard*n_dev, D) f32 master copy, sharded along dim 0.
+    origins/dirs/target: sharded along ``axis_name``.
+    Returns (replicated loss scalar, grad sharded like ``rows``).
+    """
+    from volrend_tpu.ops import grad as grad_mod
+    # the tree rides in with its (possibly sharded) payload dropped: voxel
+    # values come from the gathered ``rows`` (pad rows past the true leaf
+    # count are never indexed by child/LUT, so they are harmless to keep)
+    tree = dataclasses.replace(
+        tree, data=jnp.zeros((0, rows.shape[1]), rows.dtype))
+    tree_spec = jax.tree_util.tree_map(lambda _: P(), tree)
+    n_total = origins.shape[0]
+
+    def local(tree_l, rows_l, o_l, d_l, tgt_l):
+        data_full = jax.lax.all_gather(rows_l, axis_name, tiled=True)
+
+        def loss_fn(dat):
+            out = grad_mod.render_rays_train(tree_l, o_l, d_l, opt,
+                                             data=dat)
+            diff = out[:, :3] - tgt_l[:, :3]
+            return jnp.sum(diff * diff) / (3.0 * n_total)
+
+        loss, g = jax.value_and_grad(loss_fn)(data_full)
+        loss = jax.lax.psum(loss, axis_name)
+        g = jax.lax.psum_scatter(g.astype(jnp.float32), axis_name,
+                                 scatter_dimension=0, tiled=True)
+        return loss, g
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(tree_spec, P(axis_name), P(axis_name),
+                                 P(axis_name), P(axis_name)),
+                       out_specs=(P(), P(axis_name)), check_vma=False)
+    return fn(tree, rows, origins, dirs, target)
