@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # The axon sitecustomize force-registers a TPU backend regardless of
 # JAX_PLATFORMS in the environment; override in-process (must happen before
 # the first jax.devices() call anywhere in the session).
+# VOLREND_TPU_TESTS=1 keeps the real TPU backend instead — ONLY for the
+# self-skipping Mosaic lowering smoke tests:
+#   VOLREND_TPU_TESTS=1 pytest tests/test_tpu_smoke.py -q
+# (the rest of the suite needs the 8 virtual CPU devices and will fail).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("VOLREND_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)

@@ -134,3 +134,20 @@ def test_headless_cli_ndc_scene(tmp_path):
     mse = float(np.mean(((a - b) / 255.0) ** 2))
     psnr = 99.0 if mse < 1e-12 else -10.0 * np.log10(mse)
     assert psnr > 30.0, f"NDC headless slab-vs-exact {psnr:.1f} dB"
+
+
+def test_export_html_offline_preview(scene_files, tmp_path):
+    """Self-contained HTML turntable export (the reference's no-server
+    client-side viewing, web/main_web.cpp:547-576, as a pre-rendered
+    offline artifact): one file, N embedded PNG frames, a scrubber."""
+    import re
+    from volrend_tpu.cli import export_html
+    tree_path, _, _ = scene_files
+    out = str(tmp_path / "scene.html")
+    rc = export_html.main([tree_path, "-o", out, "--frames", "3",
+                           "--size", "32"])
+    assert rc == 0
+    html = open(out).read()
+    assert html.count("<canvas") == 1 and "FRAMES" in html
+    n = len(re.findall(r'"[A-Za-z0-9+/=]{100,}"', html))
+    assert n == 3

@@ -169,6 +169,45 @@ def test_wireframe_and_probe():
     assert np.all((img >= 0) & (img <= 1))
 
 
+def test_probe_inset_in_frame():
+    """The in-frame probe inset (volrend.cu:100-134): circle pixels at the
+    top-right are overwritten with the sigmoid'd lumisphere (alpha 1),
+    pixels outside the circle are untouched, disabled probe is a no-op."""
+    from volrend_tpu.ops.camera import Camera
+    from volrend_tpu.ops.composite import draw_probe_inset
+    from volrend_tpu.utils.options import RenderOptions
+
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5)
+    dev = tree.to_device(lut_depth=None)
+    cam = Camera.from_vectors(width=64, height=48, fx=60.0)
+    H, W, s = 48, 64, 20
+    frame = np.full((H, W, 4), 0.25, np.float32)
+    opt = RenderOptions(enable_probe=True, probe=(0.1, 0.2, 0.3),
+                        probe_disp_size=s)
+    out = draw_probe_inset(frame, dev, cam, opt)
+    # circle center pixel: x near W - s/2 - 5... compute like the kernel
+    ys, xs = np.arange(H), np.arange(W)
+    yy = ((ys[:, None] - 5) / np.float32(0.5 * s) - 1.0).astype(np.float32)
+    xx = -((xs[None, :] - (W - s) + 5) / np.float32(0.5 * s)
+           - 1.0).astype(np.float32)
+    inside = (xx ** 2 + yy ** 2 <= 1.0) & (ys[:, None] < s + 5) \
+        & (xs[None, :] >= W - s - 5)
+    assert inside.sum() > 0
+    assert np.all(out[inside][:, 3] == 1.0)          # alpha forced 1
+    assert np.any(out[inside][:, :3] != 0.25)        # lumisphere drawn
+    assert np.array_equal(out[~inside], frame[~inside])  # rest untouched
+    # sigmoid output range
+    assert np.all((out[inside][:, :3] > 0) & (out[inside][:, :3] < 1))
+    # disabled: no-op
+    out2 = draw_probe_inset(frame, dev, cam, opt.replace(
+        enable_probe=False))
+    assert np.array_equal(out2, frame)
+    # uint8 frames keep dtype
+    f8 = (frame * 255).astype(np.uint8)
+    out8 = draw_probe_inset(f8, dev, cam, opt)
+    assert out8.dtype == np.uint8 and np.all(out8[inside][:, 3] == 255)
+
+
 # --------------------------------------------------------------------------
 # mesh compositing on the SLAB fast path (VERDICT r2 item 1): the march is
 # clipped at the mesh distance via the per-pixel zbounds (sub-slab exact)

@@ -97,6 +97,24 @@ def test_probe_endpoint(server, tmp_path):
     assert img.shape == (32, 32, 3)
 
 
+def test_probe_inset_in_served_frame(server, tmp_path):
+    """enable_probe draws the in-frame inset circle at the top-right of
+    viewer frames (volrend.cu:100-134), and disabling removes it."""
+    base, state = server
+    _post(base + "/options", {"enable_probe": True, "probe": [0.1, 0.2, 0.3],
+                              "probe_disp_size": 20})
+    on = _get(base + "/frame?w=64&h=64")
+    _post(base + "/options", {"enable_probe": False})
+    off = _get(base + "/frame?w=64&h=64")
+    pa, pb = tmp_path / "on.png", tmp_path / "off.png"
+    pa.write_bytes(on)
+    pb.write_bytes(off)
+    a, b = read_png(str(pa)), read_png(str(pb))
+    # the inset region differs; the bottom half doesn't
+    assert np.any(a[:25, 64 - 25:] != b[:25, 64 - 25:])
+    assert np.array_equal(a[32:], b[32:])
+
+
 def test_ndc_camera_init():
     """NDC mean-pose camera init (main.cpp:731-741): fixed canonical pose
     + focal = ndc_focal * 0.25."""

@@ -1,0 +1,119 @@
+"""Training-throughput benchmark: FrameTrainer ms/step at 800^2, G=128.
+
+The differentiable stack (bake -> Pallas slab march fwd+bwd -> precise
+superquad warp VJP -> optax update) has parity gates but, before round 4,
+no perf artifact. This captures train_ms_per_step single-chip at the scale
+CLAUDE.md says fits one 16 GB chip (G=128; bench scale G=256 is the
+leaf-sharded multi-chip regime).
+
+Protocol mirrors bench.py: one pose group, steps dispatched in sequence,
+each step ending in the loss host transfer (the only real sync on the
+axon tunnel); steady-state median over the timed steps. Writes
+docs/BENCH_TRAIN.json and prints one JSON line.
+
+Usage: python tools/bench_train.py [--steps 30] [--size 800] [--cpu-smoke]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _log(m):
+    print(f"[train-bench +{time.perf_counter() - _T0:6.1f}s] {m}",
+          file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--gi", type=int, default=256)
+    ap.add_argument("--poses", type=int, default=4)
+    ap.add_argument("--cpu-smoke", action="store_true",
+                    help="tiny CPU run to validate the script")
+    ap.add_argument("--out", default=None,
+                    help="write the JSON artifact here "
+                         "(default docs/BENCH_TRAIN.json on TPU)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+        args.size, args.depth, args.gi = 64, 4, 32
+        args.steps, args.poses = 3, 2
+    import jax.numpy as jnp
+    from volrend_tpu.models.synthetic import make_solid_tree
+    from volrend_tpu.ops.camera import Camera
+    from volrend_tpu.train import FrameTrainer
+    from volrend_tpu.utils.options import RenderOptions
+
+    W = H = args.size
+    _log(f"scene: depth={args.depth}, {W}x{H}, gi={args.gi}, "
+         f"backend={jax.default_backend()}")
+    tree = make_solid_tree(max_depth=args.depth, basis_dim=9, seed=7)
+    dev = tree.to_device(lut_depth=None)
+    opt = RenderOptions(max_steps=1024)
+    tr = FrameTrainer(dev, opt=opt, lr=5e-2, gi=args.gi)
+
+    cams, targets = [], []
+    for i in range(args.poses):
+        th = 0.25 + 0.1 * i
+        back = np.array([np.cos(th), np.sin(th), 0.45])
+        back /= np.linalg.norm(back)
+        cams.append(Camera.from_vectors(
+            center=tuple(2.6 * back), v_back=tuple(back),
+            width=W, height=H))
+        targets.append(jnp.asarray(
+            np.full((H, W, 4), 0.5, np.float32)))
+
+    _log("compiling first step")
+    for s in range(args.warmup):
+        loss = tr.step_frame(cams[s % args.poses], targets[s % args.poses])
+    _log(f"warm (loss {loss:.5f}); timing {args.steps} steps")
+
+    dts = []
+    for s in range(args.steps):
+        t0 = time.perf_counter()
+        loss = tr.step_frame(cams[s % args.poses],
+                             targets[s % args.poses])  # float() = sync
+        dts.append(time.perf_counter() - t0)
+    assert np.isfinite(loss), "non-finite training loss"
+    ms = float(np.median(dts) * 1e3)
+    _log(f"median {ms:.1f} ms/step (min {min(dts) * 1e3:.1f}, "
+         f"max {max(dts) * 1e3:.1f})")
+
+    rec = {
+        "metric": "train_ms_per_step",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "resolution": [H, W],
+        "grid": int(tr.grid.G),
+        "gi": args.gi,
+        "steps_timed": args.steps,
+        "rays_per_s": round(W * H / (ms / 1e3) / 1e6, 2),
+        "platform": jax.default_backend(),
+    }
+    out = args.out or (None if args.cpu_smoke
+                       else os.path.join(os.path.dirname(
+                           os.path.dirname(os.path.abspath(__file__))),
+                           "docs", "BENCH_TRAIN.json"))
+    if out:
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1)
+        _log(f"wrote {out}")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

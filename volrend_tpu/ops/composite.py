@@ -30,7 +30,7 @@ from volrend_tpu.ops.rasterize import rasterize_meshes
 from volrend_tpu.utils.options import RenderOptions
 
 __all__ = ["render_frame_with_meshes", "wireframe_mesh", "probe_coeffs",
-           "probe_image"]
+           "probe_image", "draw_probe_inset"]
 
 
 def wireframe_mesh(tree: N3Tree, max_depth: int = 4) -> Mesh:
@@ -101,3 +101,73 @@ def probe_image(tree: TreeArrays, point, size: int = 100) -> np.ndarray:
         rgb = (1.0 / (1.0 + np.exp(-raw))).reshape(size, size, 3)
     rgb[r2 > 1.0] = 0.0
     return rgb.astype(np.float32)
+
+
+def draw_probe_inset(frame: np.ndarray, tree: TreeArrays, cam,
+                     opt: RenderOptions) -> np.ndarray:
+    """Composite the lumisphere-probe ball as an inset circle inside the
+    rendered frame (the reference draws it in-kernel at the top-right,
+    volrend.cu:100-134). Host-side: the inset is ~probe_disp_size^2
+    pixels of SH evaluation, negligible next to a frame render.
+
+    frame: (H, W, 4) float [0,1] or uint8 RGBA; modified copy returned in
+    the same dtype. Directions are the VIEW-rotated unit hemisphere
+    (cen_z = -sqrt(1-c), rotated by the camera basis — the reference's
+    ``_mv3(cam.transform, cen, dir)``), and basis_minmax windowing
+    applies, so the inset responds to camera orbits and SH-band viz
+    exactly like the reference's.
+    """
+    if not opt.enable_probe:
+        return frame
+    from volrend_tpu.models.data_format import BasisType
+    from volrend_tpu.ops import basis as basis_mod
+
+    H, W = frame.shape[:2]
+    s = int(opt.probe_disp_size)
+    if s <= 0 or W < s + 5 or H < s + 5:
+        return frame
+    is_u8 = frame.dtype == np.uint8
+    out = np.array(frame)  # copy
+
+    coeffs = probe_coeffs(tree, opt.probe)
+    # pixel block [y0:y1) x [x0:x1) covering the circle (the reference
+    # iterates the square y < s+5, x >= W-s-5 and tests c <= 1)
+    ys = np.arange(H)
+    xs = np.arange(W)
+    in_y = ys < s + 5
+    in_x = xs >= W - s - 5
+    yy = (ys[in_y] - 5).astype(np.float32)
+    xx = (xs[in_x] - (W - s) + 5).astype(np.float32)
+    cen0 = -(xx / (0.5 * s) - 1.0)                    # (w,)
+    cen1 = yy / (0.5 * s) - 1.0                       # (h,)
+    c = cen0[None, :] ** 2 + cen1[:, None] ** 2       # (h, w)
+    inside = c <= 1.0
+    if not np.any(inside):
+        return out
+    cen2 = -np.sqrt(np.maximum(1.0 - c, 0.0))
+    cen = np.stack([np.broadcast_to(cen0[None, :], c.shape),
+                    np.broadcast_to(cen1[:, None], c.shape), cen2], -1)
+    R = np.asarray(cam.transform, np.float32)[:3, :3]  # [right|up|back]
+    dirs = cen[inside] @ R.T                           # world dirs (n, 3)
+
+    bd = tree.basis_dim
+    if bd < 0:
+        rgb = np.broadcast_to(coeffs[:3], (dirs.shape[0], 3))
+    else:
+        vals = basis_mod.eval_basis(BasisType(int(tree.fmt)), bd, dirs,
+                                    np.asarray(tree.extra), xp=np)
+        vals = basis_mod.apply_basis_window(vals, opt.basis_minmax, xp=np)
+        raw = (coeffs[:3 * bd].reshape(3, bd)[None]
+               * vals[:, None, :]).sum(-1)
+        rgb = 1.0 / (1.0 + np.exp(-raw))
+    if is_u8:
+        px = np.concatenate(
+            [np.round(rgb * 255.0), np.full((rgb.shape[0], 1), 255.0)],
+            -1).astype(np.uint8)
+    else:
+        px = np.concatenate(
+            [rgb, np.ones((rgb.shape[0], 1))], -1).astype(out.dtype)
+    block = out[np.ix_(ys[in_y], xs[in_x])]
+    block[inside] = px[..., :block.shape[-1]]
+    out[np.ix_(ys[in_y], xs[in_x])] = block
+    return out

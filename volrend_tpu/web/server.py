@@ -548,6 +548,13 @@ class ViewerState:
                 self.dev, self.cam, self.opt, self.meshes,
                 host_tree=self.tree)
             self.last_backend = "exact"
+        if self.opt.enable_probe:
+            # in-frame lumisphere inset at the top-right, the reference's
+            # in-kernel probe circle (volrend.cu:100-134); the /probe
+            # endpoint's separate panel stays for the HTML UI
+            from volrend_tpu.ops import composite
+            img = composite.draw_probe_inset(np.asarray(img), self.dev,
+                                             self.cam, self.opt)
         buf = io.BytesIO()
         _write_png_bytes(buf, img)
         return buf.getvalue()
