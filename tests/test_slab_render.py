@@ -785,7 +785,8 @@ def test_superquad_warp_block4(scene, monkeypatch):
         out = display_warp._combine_emit(
             jnp.transpose(qg, (2, 0, 1)), ry, rx, okm, H // B, W // B,
             float(opt.background_brightness), B=B,
-            qscale=(1.0 / 127.0 if tdt == jnp.int8 else 1.0))
+            qscale=(1.0 / 255.0 if tdt == jnp.int8 else 1.0),
+            qshift=(128.0 / 255.0 if tdt == jnp.int8 else 0.0))
         got = np.asarray(out).reshape(H, W, 4)
         # one display quantum (int8 table) + display-emit bf16 ulp
         # (values reach ~1.2 with bg composite —

@@ -78,11 +78,15 @@ _BH_COMBINE = 100
 #: frame rate (2.22 -> 2.08 ms/frame at 800^2/gi=256, tools/perf_r10.py).
 #: The precise/training path always forces exact=True.
 _EXACT_EMIT = False
-#: display-path window-table dtype: int8 (values quantized to [0,127] —
-#: one display quantum, max error 0.5/127 ≈ 1/255 ≈ the bf16 table's ulp
-#: at 1.0) halves the gathered-table bytes, and with them the one XLA
-#: relayout the path still pays (the gather-output planarize feeding the
-#: combine kernel: 20 MB bf16 = 0.096 ms/frame of copy.76 at 800^2,
+#: display-path window-table dtype: int8, AFFINE fixed point over the full
+#: [-128,127] range (q = round(v*255) - 128; dequant v = q/255 + 128/255 —
+#: the tent weights sum to exactly 1 over the 4x4 window, so the zero
+#: point is a constant post-accumulation add). Max error 0.5/255 = half a
+#: display quantum (~58.9 dB quantization floor — the r3 table only used
+#: [0,127], wasting the sign bit and capping PSNR near 53 dB, measured
+#: 51.67 on the r4 bench). Halves the gathered-table bytes and the one
+#: XLA relayout the path still pays (the gather-output planarize feeding
+#: the combine kernel: 20 MB bf16 = 0.096 ms/frame of copy.76 at 800^2,
 #: profiled tools/perf_r8/r11). The precise/training path always builds
 #: f32 tables (make_warp_precise) and is unaffected.
 _TABLE_INT8 = True
@@ -117,11 +121,13 @@ def _interpret() -> bool:
 # table build: planar shifted planes (Pallas) + transpose folded into gather
 # ---------------------------------------------------------------------------
 
-def _make_build(gi: int, group: int, dtype=jnp.bfloat16):
-    """Kernel emitting window-table channels [16*group, 16*group+16) in
-    planar (16, rows, gi-3) layout. One dynamic row-block load per color
-    plane, static shifted subslices after (Mosaic compiles exactly this
-    shape of the problem — see module docstring)."""
+def _make_build(gi: int, dtype=jnp.bfloat16):
+    """Kernel emitting all 64 window-table channels in planar
+    (64, rows, gi-3) layout in ONE call. One dynamic row-block load per
+    color plane, static shifted subslices after (Mosaic compiles exactly
+    this shape of the problem — see module docstring). The r3 version
+    split the channels over 4 calls; the merge removes 3 dispatches and
+    the XLA concat materialization between them."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     W3 = gi - 3
@@ -133,40 +139,39 @@ def _make_build(gi: int, group: int, dtype=jnp.bfloat16):
     def kernel(it_ref, out_ref):
         i = pl.program_id(0)
         blk = [it_ref[c, pl.ds(i * BH, BH + 3), :] for c in range(4)]
-        for k in range(16):
-            _, cy, cx, c = _ORDER[group * 16 + k]
+        for k in range(64):
+            _, cy, cx, c = _ORDER[k]
             out_ref[k] = blk[c][cy:cy + BH, cx:cx + W3]
 
     return pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[pl.BlockSpec((4, nb * BH + 3, gi), lambda i: (0, 0, 0))],
-        out_specs=pl.BlockSpec((16, BH, W3), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((16, nb * BH, W3), dtype),
+        out_specs=pl.BlockSpec((64, BH, W3), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((64, nb * BH, W3), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_interpret(),
     ), nb * BH
 
 
-def _build_table(inter, gi: int, dtype=jnp.bfloat16):
+def _build_table(inter, gi: int, dtype=jnp.bfloat16, planar: bool = False):
     """(gi, gi, 4) f32 -> ((gi-3)^2, 64) window-row table (as the free
-    transpose of the planar Pallas build). int8 (x127 fixed point, see
+    transpose of the planar Pallas build). int8 (affine fixed point, see
     _TABLE_INT8) on the display path, f32 on the precise (training)
-    path."""
+    path. planar=True: ``inter`` is already channel-planar (4, gi, gi) —
+    the march kernel's native emit layout — skipping the XLA relayout."""
     W3 = gi - 3
-    itp = jnp.transpose(inter, (2, 0, 1))
+    itp = inter if planar else jnp.transpose(inter, (2, 0, 1))
     if dtype == jnp.int8:
-        itp = jnp.round(jnp.clip(itp, 0.0, 1.0) * 127.0).astype(jnp.int8)
+        # affine fixed point: q = round(v*255) - 128 (see _TABLE_INT8)
+        itp = (jnp.round(jnp.clip(itp, 0.0, 1.0) * 255.0) - 128.0
+               ).astype(jnp.int8)
     else:
         itp = itp.astype(dtype)
-    parts = []
-    for g in range(4):
-        call, Hp = _make_build(gi, g, dtype)
-        if g == 0:
-            itp = jnp.pad(itp, ((0, 0), (0, Hp + 3 - gi), (0, 0)))
-        parts.append(call(itp)[:, :W3])
-    tblp = jnp.concatenate(parts, 0).reshape(64, W3 * W3)
+    call, Hp = _make_build(gi, dtype)
+    itp = jnp.pad(itp, ((0, 0), (0, Hp + 3 - gi), (0, 0)))
+    tblp = call(itp)[:, :W3].reshape(64, W3 * W3)
     return jnp.transpose(tblp, (1, 0))
 
 
@@ -195,7 +200,7 @@ def _emit_mats(Wh: int, B: int = 2) -> np.ndarray:
 def _make_combine_kernel(BH: int, Wh: int, bg: float,
                          has_mesh: bool = False, B: int = 2,
                          exact: bool = True, qscale: float = 1.0,
-                         out_dtype=jnp.float32):
+                         qshift: float = 0.0, out_dtype=jnp.float32):
     W4 = 4 * B * Wh
 
     def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, *rest):
@@ -226,8 +231,12 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
                         for cx in range(4):
                             acc = acc + (wy[cy] * wx[cx]) * qg_ref[
                                 _chan(cy, cx, c)].astype(jnp.float32)
-                    # int8 table dequant: one multiply per channel plane
-                    rgba.append(acc * qscale if qscale != 1.0 else acc)
+                    # affine int8 table dequant: the tent weights sum to
+                    # exactly 1 over the window, so the zero point is a
+                    # constant post-accumulation add (see _TABLE_INT8)
+                    if qscale != 1.0 or qshift != 0.0:
+                        acc = acc * qscale + qshift
+                    rgba.append(acc)
                 alpha = rgba[3]
                 if has_mesh:
                     # per-pixel background = mesh color where the mesh
@@ -283,7 +292,7 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
 def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
                   mesh_planes=None, B: int = 2,
                   exact: Optional[bool] = None, qscale: float = 1.0,
-                  out_dtype=jnp.float32):
+                  qshift: float = 0.0, out_dtype=jnp.float32):
     """(64, Hh, Wh) gathered window planes + per-subpixel positions ->
     (B*Hh, 4*B*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
     mesh_planes: optional (4*B^2, Hh, Wh) subpixel-split mesh buffers
@@ -301,7 +310,7 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
     E = jnp.asarray(_emit_mats(Wh, B), jnp.bfloat16)
     kern = _make_combine_kernel(BH, Wh, bg,
                                 has_mesh=mesh_planes is not None, B=B,
-                                exact=exact, qscale=qscale,
+                                exact=exact, qscale=qscale, qshift=qshift,
                                 out_dtype=out_dtype)
     # Mosaic cannot cast f32->uint8 in-kernel: the kernel emits rounded
     # f32 display values; the uint8 convert happens here in XLA.
@@ -401,7 +410,8 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                       perm: Tuple[int, int, int],
                       u0, du, v0, dv, scale,
                       ndc: Optional[tuple] = None, origin=None,
-                      bg_pix=None, block: int = 2, out_dtype=None):
+                      bg_pix=None, block: int = 2, out_dtype=None,
+                      planar: bool = False):
     """Drop-in twin of slab_render._warp_to_screen (display path): warp the
     (gi, gi, 4) intermediate image to (H, W, 4) + background composite.
 
@@ -410,7 +420,12 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
     the 4x4 window); poses fall through block -> 2 -> the reference warp
     via nested lax.cond. block=4 quarters the gather rows again and halves
     the emit-matmul contraction; it fits whenever pixel motion is
-    <~(2/3) cell (gi <= ~0.8*W at bench-like poses)."""
+    <~(2/3) cell (gi <= ~0.8*W at bench-like poses).
+
+    planar=True: ``inter`` is channel-planar (4, gi, gi) — the march
+    kernel's native emit layout. The fast path feeds it straight to the
+    planar table build (no XLA relayout); the per-pose reference-warp
+    fallback pays a moveaxis inside its own cond branch only."""
     mrgba = None
     if bg_pix is not None:
         mesh_rgb, hit = bg_pix
@@ -428,7 +443,7 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
 
         def fast(it_in):
             tdt = jnp.int8 if _TABLE_INT8 else jnp.bfloat16
-            tbl = _build_table(it_in, gi, dtype=tdt)
+            tbl = _build_table(it_in, gi, dtype=tdt, planar=planar)
             qg = tbl[Y0 * (gi - 3) + X0]            # (Hh, Wh, 64)
             qgp = jnp.transpose(qg, (2, 0, 1))      # planar for the kernel
             ry = gys - Y0.astype(_F32)[None]
@@ -436,8 +451,10 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
             out = _combine_emit(qgp, ry, rx, okm, Hh, Wh,
                                 float(opt.background_brightness),
                                 mesh_planes=mesh_planes, B=B,
-                                qscale=(1.0 / 127.0 if tdt == jnp.int8
+                                qscale=(1.0 / 255.0 if tdt == jnp.int8
                                         else 1.0),
+                                qshift=(128.0 / 255.0 if tdt == jnp.int8
+                                        else 0.0),
                                 out_dtype=(out_dtype or jnp.float32))
             return out.reshape(height, width, 4)
 
@@ -445,6 +462,8 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
 
     def slow(it_in):
         from volrend_tpu.ops.slab_render import _warp_to_screen_ref
+        if planar:
+            it_in = jnp.moveaxis(it_in, 0, -1)
         return to_display_dtype(_warp_to_screen_ref(
             it_in, opt, R, fx, fy, width, height,
             gi, perm, u0, du, v0, dv, scale,

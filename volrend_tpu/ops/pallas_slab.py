@@ -234,10 +234,16 @@ def _window_live(T_plane, zb_ref, stop_thresh, wid, K: int, G: int,
 
 
 def _shade_pre(p, G: int, bbox_full: bool):
-    """Slab-invariant shade planes: camera-relative voxel-center offsets
-    (the per-slab ray slopes are `offset * s_inv`) and the static-bbox
-    voxel mask (None when the bbox is the full cube — the compares would
-    always pass; `bbox_full` removes them from every slab body)."""
+    """Slab-invariant shade planes and the static-bbox voxel mask (None
+    when the bbox is the full cube — the compares would always pass;
+    `bbox_full` removes them from every slab body).
+
+    The shade planes are the slab-INDEPENDENT part of the per-voxel view
+    direction: normalize() kills scale, so instead of the per-slab
+    ``dirM @ (1, ycm/s, xcm/s)`` (2 plane muls + 6 plane FMAs per slab)
+    the kernel uses ``s * dw = dirM[:,0]*s + (dirM[:,1]*ycm +
+    dirM[:,2]*xcm)`` — the parenthesized planes hoisted here, 1 plane FMA
+    per axis per slab, with sign(s) folded into the rnorm scalar."""
     cy, cx = p[1], p[2]
     yrow = lax.broadcasted_iota(jnp.int32, (G, G), 0).astype(_F32)
     xcol = lax.broadcasted_iota(jnp.int32, (G, G), 1).astype(_F32)
@@ -253,7 +259,9 @@ def _shade_pre(p, G: int, bbox_full: bool):
         h = 0.5 / G
         okb = ((yc + h > lo1) & (yc - h < hi1)
                & (xc + h > lo2) & (xc - h < hi2))
-    return yc - cy, xc - cx, okb
+    ycm, xcm = yc - cy, xc - cx
+    dirp = [p[21 + 3 * a] * ycm + p[22 + 3 * a] * xcm for a in range(3)]
+    return dirp, okb
 
 
 def _pack_params(cz, cy, cx, u0, du, v0, dv, sgn, spp, inv_scale,
@@ -340,7 +348,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             wid = static_seq[0] + static_seq[1] * i
             wmask = mask_ref[i]
 
-        def _slab(slab_ref, wid, wmask, dzi, pre_w, ycm, xcm, okb):
+        def _slab(slab_ref, wid, wmask, dzi, pre_w, dirp, okb):
             sid = wid * K + dzi
             occupied = (wmask >> dzi) & 1
             p = params_ref
@@ -353,11 +361,6 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             s = z - cz
             s0 = z - 0.5 / G - cz                       # slab entry/exit
             s1 = z + 0.5 / G - cz
-            s_inv = 1.0 / s
-
-            # per-voxel ray slopes (planes over the slab)
-            uyv = ycm * s_inv
-            uxv = xcm * s_inv
 
             if sig2:
                 # 14-bit fixed-point sigma split across two int8 planes
@@ -380,11 +383,13 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             else:
                 # per-voxel world view direction -> basis shading: the
                 # per-frame affine slope->dir map (params 20:29; covers
-                # world + NDC trees, see _pack_params / FrameGeom.dirM)
-                dw = [p[20 + 3 * a] + p[21 + 3 * a] * uyv
-                      + p[22 + 3 * a] * uxv for a in range(3)]
+                # world + NDC trees, see _pack_params / FrameGeom.dirM),
+                # evaluated scale-invariantly: dw here is s * (true dir),
+                # the hoisted dirp planes carry the slab-independent part
+                # (_shade_pre) and sign(s) rides in the rnorm scalar
+                dw = [dirp[a] + p[20 + 3 * a] * s for a in range(3)]
                 rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1]
-                                  + dw[2] * dw[2])
+                                  + dw[2] * dw[2]) * jnp.sign(s)
                 dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
                 if rot is not None:
                     # static rodrigues viewdir rotation (volrend.cu:57-71)
@@ -495,7 +500,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 # the any-reduction; the pl.when occupancy gates below
                 # would block CSE across slab bodies)
                 pre_w = _warp_pre(params_ref, G, gi)
-                ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
+                dirp, okb = _shade_pre(params_ref, G, bbox_full)
                 # per-slab occupancy gate (only emitted when some window's
                 # mask is partial — the scalar branches cost ~5% on dense
                 # scenes): an empty slab inside a streamed window skips its
@@ -505,10 +510,9 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     if gate_slabs:
                         @pl.when(((wmask >> dzi) & 1) > 0)
                         def _one(dzi=dzi):
-                            _slab(sref, wid, wmask, dzi, pre_w, ycm, xcm,
-                                  okb)
+                            _slab(sref, wid, wmask, dzi, pre_w, dirp, okb)
                     else:
-                        _slab(sref, wid, wmask, dzi, pre_w, ycm, xcm, okb)
+                        _slab(sref, wid, wmask, dzi, pre_w, dirp, okb)
 
         if manual_pipe is not None:
             # 'slab_ref' holds the WHOLE payload in HBM; two-slot scratch
@@ -893,7 +897,7 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
         nw = n_win if n_win is not None else G // K
         wid = (nw - 1 - i) if flip else i
 
-        def _slab_bwd(dzi, pre_w, pre_wT, ycm, xcm, okb):
+        def _slab_bwd(dzi, pre_w, pre_wT, dirp, okb):
             sid = wid * K + dzi
             p = params_ref
             cz = p[0]
@@ -905,12 +909,8 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             s = z - cz
             s0 = z - 0.5 / G - cz
             s1 = z + 0.5 / G - cz
-            s_inv = 1.0 / s
 
             # ---- forward recompute: shade ----------------------------------
-            uyv = ycm * s_inv
-            uxv = xcm * s_inv
-
             sigma = slab_ref[dzi, D - 1].astype(_F32) * qs_ref[D - 1]
             ok = sigma > sigma_thresh
             if okb is not None:
@@ -918,11 +918,12 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             sigma = jnp.where(ok, sigma, 0.0)
 
             def make_planes():
-                # affine slope->world-dir map (see _pack_params)
-                dw = [p[20 + 3 * a] + p[21 + 3 * a] * uyv
-                      + p[22 + 3 * a] * uxv for a in range(3)]
+                # scale-invariant affine slope->world-dir map (dw = s *
+                # true dir; hoisted dirp planes + sign(s) in rnorm — see
+                # _shade_pre / the forward kernel)
+                dw = [dirp[a] + p[20 + 3 * a] * s for a in range(3)]
                 rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1]
-                                  + dw[2] * dw[2])
+                                  + dw[2] * dw[2]) * jnp.sign(s)
                 dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
                 if rot is not None:
                     dx, dy, dz = (rot[0] * dx + rot[1] * dy + rot[2] * dz,
@@ -1062,9 +1063,9 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             # live window, skipped entirely for dead ones
             pre_w = _warp_pre(params_ref, G, gi)
             pre_wT = _warp_pre(params_ref, G, gi, transposed=True)
-            ycm, xcm, okb = _shade_pre(params_ref, G, bbox_full)
+            dirp, okb = _shade_pre(params_ref, G, bbox_full)
             for dzi in dz_order:
-                _slab_bwd(dzi, pre_w, pre_wT, ycm, xcm, okb)
+                _slab_bwd(dzi, pre_w, pre_wT, dirp, okb)
 
         @pl.when(jnp.logical_not(live))
         def _dead_window():

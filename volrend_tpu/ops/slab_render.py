@@ -349,13 +349,31 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
         flip=flip,
         bbox_full=_bbox_full(opt),
         shade_bf16=pallas_slab._BF16_SHADE)
-    acc = jnp.moveaxis(acc4[:3], 0, -1)
+    # finalize PLANAR (rt_core.cuh:176-194 semantics in the march's
+    # native (4, gi, gi) emit layout): the superquad warp's table build
+    # consumes planar directly, so the (gi, gi, 4) relayout the old path
+    # paid (moveaxis here + transpose back in _build_table, ~0.1 ms/frame
+    # of copies at 800^2) only happens on the per-pose reference-warp
+    # fallback branch
     T = acc4[3]
     stopped = T < _F32(opt.stop_thresh)
-    return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
-                              width, height, gi, perm, u0, du, v0, dv,
-                              grid.scale, origin=origin, mesh=mesh,
-                              out_dtype=out_dtype)
+    renorm = stopped & opt.renormalize
+    if opt.render_depth:
+        dep = jnp.minimum(acc4[0] * 0.3, 1.0)
+        dep = jnp.where(renorm, dep / (1.0 - T), dep)
+        inter_p = jnp.stack([dep, dep, dep, jnp.ones((gi, gi), _F32)])
+    else:
+        rgb = jnp.where(renorm[None], acc4[:3] / (1.0 - T)[None], acc4[:3])
+        alpha = jnp.where(stopped, 1.0, 1.0 - T)
+        inter_p = jnp.concatenate([rgb, alpha[None]], 0)
+    bg_pix = None
+    if mesh is not None:
+        mesh_dist, mesh_rgb = mesh
+        bg_pix = (mesh_rgb, jnp.isfinite(mesh_dist))
+    return _warp_to_screen(inter_p, opt, R, fx, fy, width, height, gi,
+                           perm, u0, du, v0, dv, grid.scale, ndc=grid.ndc,
+                           origin=origin, bg_pix=bg_pix,
+                           out_dtype=out_dtype, planar=True)
 
 
 def _bbox_full(opt: RenderOptions) -> bool:
@@ -846,7 +864,8 @@ def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,
 def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
                     width: int, height: int, gi: int, perm,
                     u0, du, v0, dv, scale, precise: bool = False,
-                    ndc=None, origin=None, bg_pix=None, out_dtype=None):
+                    ndc=None, origin=None, bg_pix=None, out_dtype=None,
+                    planar: bool = False):
     """Projective bilinear warp of the (gi, gi, 4) intermediate image to the
     (height, width, 4) screen, plus background compositing. Linear in
     ``inter`` (autodiff-friendly: gathers transpose to scatters).
@@ -855,7 +874,9 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
     shortcut quantizes outputs below typical gradient-step sizes).
     bg_pix: optional (mesh_rgb (H, W, 3), hit (H, W) bool) per-pixel
     background — mesh compositing (remaining transmittance over the mesh
-    color; alpha forced 1 on mesh pixels, volrend.cu:152-163)."""
+    color; alpha forced 1 on mesh pixels, volrend.cu:152-163).
+    planar: ``inter`` is channel-planar (4, gi, gi) — the march kernel's
+    native emit layout; relayout only happens on non-superquad paths."""
     from volrend_tpu.ops import display_warp
     if not precise:
         # display path on TPU: 2x2-screen-pixel superquad gather (4x fewer
@@ -869,7 +890,7 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
             return display_warp.warp_to_screen_sq(
                 inter, opt, R, fx, fy, width, height, gi, perm,
                 u0, du, v0, dv, scale, ndc=ndc, origin=origin,
-                bg_pix=bg_pix, out_dtype=out_dtype)
+                bg_pix=bg_pix, out_dtype=out_dtype, planar=planar)
     # NOTE: a superquad PRECISE warp with a hand-written VJP exists
     # (display_warp.make_warp_precise, gradient-parity gated) but
     # measured SLOWER in the training step than autodiff of this
@@ -878,6 +899,8 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
     # adjoint's relayout transposes re-spend the 4x-fewer-scatter-rows
     # win). Parked; the training path keeps the reference warp.
     from volrend_tpu.ops.display_warp import to_display_dtype
+    if planar:
+        inter = jnp.moveaxis(inter, 0, -1)
     return to_display_dtype(
         _warp_to_screen_ref(inter, opt, R, fx, fy, width, height, gi,
                             perm, u0, du, v0, dv, scale,
