@@ -59,8 +59,10 @@ _FORCE_INTERPRET = False
 #: slabs per while-loop chunk: small enough that early exit saves real work,
 #: large enough that the per-chunk dispatch/cond overhead amortizes
 #: (measured on v5e at G=256/gi=448: 32→3.65 ms, 64→3.40, 128→2.20, 256→2.15
-#: per frame; 128 keeps one early-exit point per half-grid at ~peak speed)
-_CHUNK = 128
+#: per frame; r4 at the production gi=256: 128→279.3, 256→283.5 Mrays/s on
+#: the dense bench — the whole G=256 volume in ONE dispatch wins, the
+#: mid-march early-exit point was not earning its dispatch gap)
+_CHUNK = 256
 
 #: VMEM budget handed to Mosaic for the forward kernel; module constant so
 #: perf probes can sweep it (more headroom can enable block double-buffering
