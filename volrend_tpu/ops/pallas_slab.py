@@ -95,6 +95,17 @@ _MANUAL_PIPE = False
 #: (same caveat as _FORCE_INTERPRET).
 _BF16_SHADE = False
 
+#: display-path default for ``march_slabs(dir_win=...)``: evaluate the
+#: shading view-dir + basis planes ONCE per K-slab window (at the
+#: window-center camera distance) instead of per slab. The dir drift
+#: across a K=4 window is |ycm|*(K/G)/s^2 <= ~0.15 deg at orbit
+#: distances — far below the int8 grid's own quantization error — and
+#: the hoist removes the dir affine + rsqrt + SH polynomial planes from
+#: 3 of every 4 slab bodies (~1/4 of the march's VPU work at SH16).
+#: Training/precise paths pass dir_win=False (the backward kernel's
+#: forward-recompute shades per slab; fwd/bwd must match exactly).
+_DIR_WIN = True
+
 
 def available() -> bool:
     if _FORCE_INTERPRET:
@@ -313,7 +324,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                  static_seq: Optional[Tuple[int, int]] = None,
                  gate_slabs: bool = True,
                  manual_pipe: Optional[Tuple[int, int, object]] = None,
-                 bbox_full: bool = False, shade_bf16: bool = False):
+                 bbox_full: bool = False, shade_bf16: bool = False,
+                 dir_win: bool = False):
     """static_seq=(base, step): the grid step i marches window base+step*i
     with occupancy masks from SMEM and a STATIC block index map — no
     scalar prefetch. None = dynamic windows via the ids array (sparse
@@ -350,7 +362,52 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             wid = static_seq[0] + static_seq[1] * i
             wmask = mask_ref[i]
 
-        def _slab(slab_ref, wid, wmask, dzi, pre_w, dirp, okb):
+        def _mk_basis(dx, dy, dz):
+            """(index, plane) basis generator from unit-dir planes —
+            shared by the per-slab path and the dir_win per-window
+            hoist."""
+            if bt == BasisType.SH:
+                if shade_bf16:
+                    return _sh_planes(bd, dx.astype(_BF16),
+                                      dy.astype(_BF16), dz.astype(_BF16))
+                return _sh_planes(bd, dx, dy, dz)
+            elif bt == BasisType.SG:
+                # exp(lam (mu.d - 1)) / bd    (lumisphere.hpp:30-36)
+                return ((k, jnp.exp(extra_ref[4 * k] * (
+                    extra_ref[4 * k + 1] * dx + extra_ref[4 * k + 2] * dy
+                    + extra_ref[4 * k + 3] * dz - 1.0)) / bd)
+                    for k in range(bd))
+            elif bt == BasisType.ASG:
+                # S exp(-a dotx^2 - b doty^2) / bd (lumisphere.hpp:14-28)
+                def _asg_planes():
+                    for k in range(bd):
+                        e = [extra_ref[11 * k + t] for t in range(11)]
+                        dotx = e[2] * dx + e[3] * dy + e[4] * dz
+                        doty = e[5] * dx + e[6] * dy + e[7] * dz
+                        S = e[8] * dx + e[9] * dy + e[10] * dz
+                        yield k, S * jnp.exp(
+                            -e[0] * dotx * dotx
+                            - e[1] * doty * doty) / bd
+                return _asg_planes()
+            raise NotImplementedError(f"basis {bt}")
+
+        def _dirs_at(s, p, dirp):
+            """Unit view-dir planes for the rays through the slab plane at
+            camera distance ``s`` (scale-invariant affine map — see
+            _shade_pre)."""
+            dw = [dirp[a] + p[20 + 3 * a] * s for a in range(3)]
+            rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1]
+                              + dw[2] * dw[2]) * jnp.sign(s)
+            dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
+            if rot is not None:
+                # static rodrigues viewdir rotation (volrend.cu:57-71)
+                dx, dy, dz = (rot[0] * dx + rot[1] * dy + rot[2] * dz,
+                              rot[3] * dx + rot[4] * dy + rot[5] * dz,
+                              rot[6] * dx + rot[7] * dy + rot[8] * dz)
+            return dx, dy, dz
+
+        def _slab(slab_ref, wid, wmask, dzi, pre_w, dirp, okb,
+                  bkq_pre=None):
             sid = wid * K + dzi
             occupied = (wmask >> dzi) & 1
             p = params_ref
@@ -383,60 +440,28 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 srgb = [sigma * slab_ref[dzi, c].astype(_F32) * qs_ref[c]
                         for c in range(3)]
             else:
-                # per-voxel world view direction -> basis shading: the
-                # per-frame affine slope->dir map (params 20:29; covers
-                # world + NDC trees, see _pack_params / FrameGeom.dirM),
-                # evaluated scale-invariantly: dw here is s * (true dir),
-                # the hoisted dirp planes carry the slab-independent part
-                # (_shade_pre) and sign(s) rides in the rnorm scalar
-                dw = [dirp[a] + p[20 + 3 * a] * s for a in range(3)]
-                rnorm = lax.rsqrt(dw[0] * dw[0] + dw[1] * dw[1]
-                                  + dw[2] * dw[2]) * jnp.sign(s)
-                dx, dy, dz = dw[0] * rnorm, dw[1] * rnorm, dw[2] * rnorm
-                if rot is not None:
-                    # static rodrigues viewdir rotation (volrend.cu:57-71)
-                    dx, dy, dz = (rot[0] * dx + rot[1] * dy + rot[2] * dz,
-                                  rot[3] * dx + rot[4] * dy + rot[5] * dz,
-                                  rot[6] * dx + rot[7] * dy + rot[8] * dz)
-
-                if bt == BasisType.SH:
-                    if shade_bf16:
-                        planes = _sh_planes(bd, dx.astype(_BF16),
-                                            dy.astype(_BF16),
-                                            dz.astype(_BF16))
-                    else:
-                        planes = _sh_planes(bd, dx, dy, dz)
-                elif bt == BasisType.SG:
-                    # exp(lam (mu.d - 1)) / bd    (lumisphere.hpp:30-36)
-                    planes = ((k, jnp.exp(extra_ref[4 * k] * (
-                        extra_ref[4 * k + 1] * dx + extra_ref[4 * k + 2] * dy
-                        + extra_ref[4 * k + 3] * dz - 1.0)) / bd)
-                        for k in range(bd))
-                elif bt == BasisType.ASG:
-                    # S exp(-a dotx^2 - b doty^2) / bd (lumisphere.hpp:14-28)
-                    def _asg_planes():
-                        for k in range(bd):
-                            e = [extra_ref[11 * k + t] for t in range(11)]
-                            dotx = e[2] * dx + e[3] * dy + e[4] * dz
-                            doty = e[5] * dx + e[6] * dy + e[7] * dz
-                            S = e[8] * dx + e[9] * dy + e[10] * dz
-                            yield k, S * jnp.exp(
-                                -e[0] * dotx * dotx
-                                - e[1] * doty * doty) / bd
-                    planes = _asg_planes()
-                else:
-                    raise NotImplementedError(f"basis {bt}")
-
+                # per-voxel world view direction -> basis shading (the
+                # per-frame affine slope->dir map, params 20:29 — covers
+                # world + NDC trees, see _pack_params / FrameGeom.dirM).
+                # dir_win: the scaled basis planes were hoisted to the
+                # window body (_dirs_at at the window-center s — the dir
+                # drift across a K=4 window is <~0.15 deg at orbit
+                # distances, far under the int8 grid's own error); per
+                # slab only the payload MACs + sigmoid remain.
                 sdt = _BF16 if (shade_bf16 and bt == BasisType.SH) else _F32
-                raw = [jnp.zeros((G, G), sdt) for _ in range(3)]
-                for k, bk in planes:
-                    if k < basis_lo or k > basis_hi:
-                        continue
-                    # bake_dense shares each basis function's dequant scale
-                    # across rgb (qs[c*bd+k] identical for all c), so the
-                    # basis plane is scaled once per k instead of
+                if bkq_pre is None:
+                    dx, dy, dz = _dirs_at(s, p, dirp)
+                    # bake_dense shares each basis function's dequant
+                    # scale across rgb (qs[c*bd+k] identical for all c),
+                    # so the basis plane is scaled once per k instead of
                     # dequantizing three channel planes separately
-                    bkq = bk * qs_ref[k].astype(sdt)
+                    bkqs = ((k, bk * qs_ref[k].astype(sdt))
+                            for k, bk in _mk_basis(dx, dy, dz)
+                            if basis_lo <= k <= basis_hi)
+                else:
+                    bkqs = bkq_pre
+                raw = [jnp.zeros((G, G), sdt) for _ in range(3)]
+                for k, bkq in bkqs:
                     for c in range(3):
                         raw[c] = raw[c] + (
                             slab_ref[dzi, c * bd + k].astype(sdt) * bkq)
@@ -503,6 +528,21 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 # would block CSE across slab bodies)
                 pre_w = _warp_pre(params_ref, G, gi)
                 dirp, okb = _shade_pre(params_ref, G, bbox_full)
+                bkq_pre = None
+                if dir_win and not depth and bd > 0:
+                    # window-shared shading dirs: basis planes built ONCE
+                    # at the window-center s and reused by all K slabs
+                    # (saves the dir affine + rsqrt + basis polys per
+                    # slab — ~1/4 of the march's VPU work at SH16/K=4)
+                    p = params_ref
+                    zc = ((wid * K).astype(_F32) + 0.5 * K) / G + p[30]
+                    sc = zc - p[0]
+                    dxc, dyc, dzc = _dirs_at(sc, p, dirp)
+                    sdt = (_BF16 if (shade_bf16 and bt == BasisType.SH)
+                           else _F32)
+                    bkq_pre = [(k, bk * qs_ref[k].astype(sdt))
+                               for k, bk in _mk_basis(dxc, dyc, dzc)
+                               if basis_lo <= k <= basis_hi]
                 # per-slab occupancy gate (only emitted when some window's
                 # mask is partial — the scalar branches cost ~5% on dense
                 # scenes): an empty slab inside a streamed window skips its
@@ -512,9 +552,11 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                     if gate_slabs:
                         @pl.when(((wmask >> dzi) & 1) > 0)
                         def _one(dzi=dzi):
-                            _slab(sref, wid, wmask, dzi, pre_w, dirp, okb)
+                            _slab(sref, wid, wmask, dzi, pre_w, dirp, okb,
+                                  bkq_pre)
                     else:
-                        _slab(sref, wid, wmask, dzi, pre_w, dirp, okb)
+                        _slab(sref, wid, wmask, dzi, pre_w, dirp, okb,
+                              bkq_pre)
 
         if manual_pipe is not None:
             # 'slab_ref' holds the WHOLE payload in HBM; two-slot scratch
@@ -661,7 +703,7 @@ def _chunk_call_pipelined(kernel, masks, params, qscale, extra, gplanar,
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
                                    "basis_lo", "basis_hi", "sig2", "fmt",
                                    "depth", "rot", "flip", "k_per_step",
-                                   "bbox_full", "shade_bf16"))
+                                   "bbox_full", "shade_bf16", "dir_win"))
 def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 gi: int, D: int, bd: int,
                 perm: Tuple[int, int, int],
@@ -671,7 +713,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 rot: Optional[Tuple[float, ...]] = None,
                 flip: bool = False, k_per_step: int = 4,
                 bbox_full: bool = False, shade_bf16: bool = False,
-                z_base=None, acc_init=None):
+                dir_win: bool = False, z_base=None, acc_init=None):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
     gplanar: (G, Dp, G, G) channel-planar permuted grid — bf16 payload
@@ -783,7 +825,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                                 sig2, fmt, depth, rot, K, flip,
                                 static_seq=(base, step), gate_slabs=gate,
                                 manual_pipe=pipe, bbox_full=bbox_full,
-                                shade_bf16=shade_bf16)
+                                shade_bf16=shade_bf16, dir_win=dir_win)
             zvals = (sids + 0.5) / G
             mdev = jnp.asarray(mrun)
 
@@ -830,7 +872,7 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     kernel = _make_kernel(
         G, gi, D, bd, perm, basis_lo, basis_hi, sig2, fmt, depth, rot, K,
         flip, gate_slabs=bool(np.any(masks != (1 << K) - 1)),
-        bbox_full=bbox_full, shade_bf16=shade_bf16)
+        bbox_full=bbox_full, shade_bf16=shade_bf16, dir_win=dir_win)
 
     def cond(carry):
         c, acc = carry

@@ -235,6 +235,11 @@ def render_frame_slab_zsharded(grid, transform, fx, fy,
             basis_hi=int(bhi), sig2=grid.quantized, extra=extra_l,
             fmt=int(grid.fmt), depth=bool(seg_opt.render_depth), rot=rot,
             flip=flip, bbox_full=slab_render._bbox_full(seg_opt),
+            # display path: same window-shared shading dirs as the
+            # single-chip renderer (window centers are global via z_base,
+            # so K-aligned shards reproduce the single-chip planes
+            # exactly and z-sharded-vs-single parity holds bit-tight)
+            dir_win=pallas_slab._DIR_WIN,
             z_base=z_base)
         parts = jax.lax.all_gather(acc4, axis_name)     # (n, 4, gi, gi)
         C = jnp.zeros((3, gi, gi), _F32)
