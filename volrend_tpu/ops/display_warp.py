@@ -349,33 +349,58 @@ def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
     from volrend_tpu.ops.slab_render import _slopes_from_dirs
     Hh, Wh = height // B, width // B
 
-    def sub_slopes(p: int, q: int):
-        xs = (jnp.arange(Wh, dtype=_F32) * B + q - 0.5 * width) / fx
-        ys = -(jnp.arange(Hh, dtype=_F32) * B + p - 0.5 * height) / fy
-        d_cam = jnp.stack([
-            jnp.broadcast_to(xs[None, :], (Hh, Wh)),
-            jnp.broadcast_to(ys[:, None], (Hh, Wh)),
-            -jnp.ones((Hh, Wh), _F32)], -1)
-        d_world = jnp.einsum("hwc,kc->hwk", d_cam, R)
-        if ndc is not None:
+    if ndc is None:
+        # world-space pinhole: the pixel->slope map is a homography, so
+        # the three permuted tree-dir components are LINEAR forms of the
+        # subpixel coordinates — evaluate them as fused broadcasts over a
+        # (B^2, Hh, Wh) leading-subpixel layout (one XLA fusion, no
+        # per-subpixel python loop / (...,3) stacks / einsum
+        # materializations: those cost ~0.1 ms/frame of copies at 800^2,
+        # profiled tools/perf_r8 r4)
+        sc = jnp.broadcast_to(jnp.asarray(scale, _F32), (3,))
+        po, qo = np.mgrid[0:B, 0:B].reshape(2, -1).astype(np.float32)
+        xs = ((jnp.arange(Wh, dtype=_F32)[None, :] * B
+               + jnp.asarray(qo)[:, None] - 0.5 * width)
+              / fx)[:, None, :]                     # (B^2, 1, Wh)
+        ys = (-(jnp.arange(Hh, dtype=_F32)[None, :] * B
+                + jnp.asarray(po)[:, None] - 0.5 * height)
+              / fy)[:, :, None]                     # (B^2, Hh, 1)
+
+        def lin(k):
+            # d_tree[perm[k]] = scale_k * (xs*R[k,0] + ys*R[k,1] - R[k,2])
+            a = R[perm[k]] * sc[perm[k]]
+            return xs * a[0] + ys * a[1] - a[2]
+
+        den, nu, nv = lin(0), lin(1), lin(2)
+        # same safe-divide guard as _slopes_from_dirs
+        inv = 1.0 / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        gy = (nu * inv - u0) / du                   # (B^2, Hh, Wh)
+        gx = (nv * inv - v0) / dv
+    else:
+        # NDC warp of dirs is origin-dependent — keep the general path
+        def sub_slopes(p: int, q: int):
+            xs = (jnp.arange(Wh, dtype=_F32) * B + q - 0.5 * width) / fx
+            ys = -(jnp.arange(Hh, dtype=_F32) * B + p - 0.5 * height) / fy
+            d_cam = jnp.stack([
+                jnp.broadcast_to(xs[None, :], (Hh, Wh)),
+                jnp.broadcast_to(ys[:, None], (Hh, Wh)),
+                -jnp.ones((Hh, Wh), _F32)], -1)
+            d_world = jnp.einsum("hwc,kc->hwk", d_cam, R)
             from volrend_tpu.ops.render_jax import world2ndc
             ndir, _ = world2ndc(
                 ndc, d_world, jnp.broadcast_to(origin, d_world.shape))
             d_tree = ndir * scale
-        else:
-            d_tree = d_world * scale
-        us, vs = _slopes_from_dirs(d_tree, perm)
-        gy = (us - u0) / du
-        gx = (vs - v0) / dv
-        ok = (gy >= 0) & (gy <= gi - 1) & (gx >= 0) & (gx <= gi - 1)
-        return (jnp.clip(gy, 0.0, gi - 1 - 1e-6),
-                jnp.clip(gx, 0.0, gi - 1 - 1e-6),
-                ok.astype(_F32))
+            us, vs = _slopes_from_dirs(d_tree, perm)
+            return (us - u0) / du, (vs - v0) / dv
 
-    subs = [sub_slopes(p, q) for p in range(B) for q in range(B)]
-    gys = jnp.stack([s[0] for s in subs])           # (B^2, Hh, Wh)
-    gxs = jnp.stack([s[1] for s in subs])
-    okm = jnp.stack([s[2] for s in subs])
+        subs = [sub_slopes(p, q) for p in range(B) for q in range(B)]
+        gy = jnp.stack([s[0] for s in subs])        # (B^2, Hh, Wh)
+        gx = jnp.stack([s[1] for s in subs])
+
+    ok = (gy >= 0) & (gy <= gi - 1) & (gx >= 0) & (gx <= gi - 1)
+    gys = jnp.clip(gy, 0.0, gi - 1 - 1e-6)
+    gxs = jnp.clip(gx, 0.0, gi - 1 - 1e-6)
+    okm = ok.astype(_F32)
     # window corner from the OK subpixels only: at the image border a
     # clipped off-grid subpixel would otherwise drag the shared window
     # away from its in-grid quad-mates (their taps fall off the window)
