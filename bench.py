@@ -378,9 +378,11 @@ def main():
         _log(f"sparse scene FAILED: {e}")
         traceback.print_exc(file=sys.stderr)
 
-    gate_fail = [e for e in errors if " gate:" in e]
+    # ANY recorded error degrades the run — a gate-section crash (e.g. a
+    # Mosaic compile failure in the steep/sparse render) means a quality
+    # class was never gated, which is as degraded as a failed gate
     degraded = (mrays is None or config_name != ladder[0][0]
-                or bool(gate_fail))
+                or bool(errors))
     if errors:
         result["errors"] = errors[:4]
     if degraded:

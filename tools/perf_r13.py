@@ -82,6 +82,7 @@ def main():
     log("exact rays (once)")
     dsel, dexact = bench._exact_rays(ddev, dcams[0], opt, 8)
 
+    chunk0 = pallas_slab._CHUNK
     for chunk in (128, 256):
         pallas_slab._CHUNK = chunk
         jax.clear_caches()
@@ -93,7 +94,7 @@ def main():
             log(f"DENSE chunk={chunk}: {m:.1f} Mrays/s, {p:.2f} dB")
         except Exception as e:
             log(f"DENSE chunk={chunk} FAILED: {type(e).__name__}: {e}")
-    pallas_slab._CHUNK = 128
+    pallas_slab._CHUNK = chunk0
 
 
 if __name__ == "__main__":

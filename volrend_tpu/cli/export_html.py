@@ -108,16 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _png_b64(img: np.ndarray) -> str:
-    from volrend_tpu.utils.png import write_png
-    import tempfile
-    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
-        path = f.name
-    try:
-        write_png(path, rgba_to_bytes(img))
-        with open(path, "rb") as f:
-            return base64.b64encode(f.read()).decode("ascii")
-    finally:
-        os.unlink(path)
+    from volrend_tpu.utils.png import write_png_bytes
+    buf = io.BytesIO()
+    write_png_bytes(buf, rgba_to_bytes(img))
+    return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
 def main(argv=None) -> int:

@@ -161,8 +161,12 @@ def draw_probe_inset(frame: np.ndarray, tree: TreeArrays, cam,
                * vals[:, None, :]).sum(-1)
         rgb = 1.0 / (1.0 + np.exp(-raw))
     if is_u8:
+        # clip before the cast: raw-RGBA trees (basis_dim < 0) skip the
+        # sigmoid, so rgb can sit outside [0, 1] and an unclipped uint8
+        # cast would wrap instead of saturating
         px = np.concatenate(
-            [np.round(rgb * 255.0), np.full((rgb.shape[0], 1), 255.0)],
+            [np.clip(np.round(rgb * 255.0), 0.0, 255.0),
+             np.full((rgb.shape[0], 1), 255.0)],
             -1).astype(np.uint8)
     else:
         px = np.concatenate(

@@ -833,7 +833,8 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         _, acc, T, stopped, _ = init
     return _finalize_and_warp(grid, acc, T, stopped, opt, R, fx, fy,
                               width, height, gi, perm, u0, du, v0, dv, scale,
-                              origin=g.origin_w, mesh=mesh)
+                              origin=g.origin_w, mesh=mesh,
+                              out_dtype=out_dtype)
 
 
 def _finalize_and_warp(grid, acc, T, stopped, opt: RenderOptions, R, fx, fy,

@@ -327,7 +327,10 @@ def render_frames_slab_zsharded(grid, transforms, fx, fy,
                 basis_hi=int(bhi), sig2=grid.quantized, extra=extra_l,
                 fmt=int(grid.fmt), depth=bool(seg_opt.render_depth),
                 rot=rot, flip=flip,
-                bbox_full=slab_render._bbox_full(seg_opt), z_base=z_base)
+                bbox_full=slab_render._bbox_full(seg_opt),
+                # same window-shared shading dirs as the single-pose /
+                # single-chip display paths (see render_frame_slab_zsharded)
+                dir_win=pallas_slab._DIR_WIN, z_base=z_base)
             parts = jax.lax.all_gather(acc4, axis_name)
             C = jnp.zeros((3, gi, gi), _F32)
             T = jnp.ones((gi, gi), _F32)

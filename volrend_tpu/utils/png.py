@@ -21,7 +21,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["write_png", "rgba_to_bytes"]
+__all__ = ["write_png", "write_png_bytes", "rgba_to_bytes"]
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -80,6 +80,26 @@ def rgba_to_bytes(img: np.ndarray) -> np.ndarray:
     if img.dtype == np.uint8:
         return img
     return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+
+
+def write_png_bytes(fh, img) -> None:
+    """Encode an (H, W, {1,3,4}) image as PNG into a file-like object —
+    the in-memory single-shot variant of :func:`write_png` (viewer frame
+    responses, offline HTML export). Compression level 1, one IDAT."""
+    data = rgba_to_bytes(np.asarray(img))
+    if data.ndim == 2:
+        data = data[..., None]
+    h, w, c = data.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    raw = np.empty((h, w * c + 1), np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = data.reshape(h, w * c)
+    comp = zlib.compress(raw.tobytes(), 1)
+    fh.write(b"\x89PNG\r\n\x1a\n")
+    fh.write(_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
+                                         0, 0, 0)))
+    fh.write(_chunk(b"IDAT", comp))
+    fh.write(_chunk(b"IEND", b""))
 
 
 def write_png(path: str, img: np.ndarray, level: int = 1,

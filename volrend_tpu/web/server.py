@@ -32,7 +32,6 @@ import dataclasses
 import io
 import json
 import threading
-import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 from urllib.parse import parse_qs, urlparse
@@ -1033,25 +1032,7 @@ class ViewerState:
         }
 
 
-def _write_png_bytes(fh, img) -> None:
-    data = png_mod.rgba_to_bytes(np.asarray(img))
-    import struct
-    h, w, c = data.shape
-    color_type = {1: 0, 3: 2, 4: 6}[c]
-    raw = np.empty((h, w * c + 1), np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = data.reshape(h, w * c)
-    comp = zlib.compress(raw.tobytes(), 1)
-
-    def chunk(tag, payload):
-        return (struct.pack(">I", len(payload)) + tag + payload
-                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
-
-    fh.write(b"\x89PNG\r\n\x1a\n")
-    fh.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
-                                        0, 0, 0)))
-    fh.write(chunk(b"IDAT", comp))
-    fh.write(chunk(b"IEND", b""))
+_write_png_bytes = png_mod.write_png_bytes
 
 
 def make_handler(state: ViewerState):
