@@ -106,6 +106,12 @@ _BF16_SHADE = False
 #: forward-recompute shades per slab; fwd/bwd must match exactly).
 _DIR_WIN = True
 
+#: display-path slabs per window (``march_slabs(k_per_step=...)``): the
+#: per-window work (liveness gate, warp/shade pre-planes, and with
+#: dir_win the whole basis build) amortizes over K slabs. Training keeps
+#: the march_slabs default (K=4).
+_K_STEP = 4
+
 
 def available() -> bool:
     if _FORCE_INTERPRET:

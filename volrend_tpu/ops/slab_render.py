@@ -349,7 +349,8 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
         flip=flip,
         bbox_full=_bbox_full(opt),
         shade_bf16=pallas_slab._BF16_SHADE,
-        dir_win=pallas_slab._DIR_WIN)
+        dir_win=pallas_slab._DIR_WIN,
+        k_per_step=pallas_slab._K_STEP)
     # finalize PLANAR (rt_core.cuh:176-194 semantics in the march's
     # native (4, gi, gi) emit layout): the superquad warp's table build
     # consumes planar directly, so the (gi, gi, 4) relayout the old path
