@@ -15,11 +15,12 @@ renderer should be written) and the timed region ends with a host transfer
 of a per-pose checksum.
 
 Fail-soft contract (VERDICT r3 item 2): this script ALWAYS prints exactly
-one JSON line and exits 0. The fast kernel configuration is tried first;
-on any compile/runtime/quality failure it falls back down a knob ladder
-(f32 emit -> bf16 table + exact emit) and reports ``"degraded": true``
-with the error recorded, so a bad knob flip can never erase a round's
-perf evidence again.
+one JSON line and exits 0. The fastest configuration — the reference's
+own RGBA8 display write-out (surf2Dwrite, volrend.cu:166-172) — is tried
+first; on any compile/runtime/quality failure it falls down a knob ladder
+(RGBA8 -> f32 emit -> bf16 table + exact emit) and reports
+``"degraded": true`` for the last-resort rung, so a bad knob flip can
+never erase a round's perf evidence again.
 
 Quality gates (VERDICT r3 item 5): three pose classes are gated against
 the exact T2 octree renderer — the orbit pose (>=52 dB), a steep
@@ -283,17 +284,23 @@ def main():
     _log(f"{len(static_pf)} pose groups: "
          f"{[(pf, int(t.shape[0])) for pf, t in zip(static_pf, trs_list)]}")
 
-    # knob ladder, fastest first. Each entry: (name, display-warp knobs).
-    # A later entry only runs if every earlier one failed to produce a
-    # gated number (VERDICT r3 item 2: the bench must fail soft).
+    # knob ladder, fastest first. Each entry: (name, display-warp knobs +
+    # emit dtype). A later entry only runs if every earlier one failed to
+    # produce a gated number (VERDICT r3 item 2: the bench must fail soft).
+    # The HEADLINE config is the RGBA8 display write-out — the protocol the
+    # reference times (surf2Dwrite RGBA8, volrend.cu:166-172); it gates at
+    # 55.90/49.83 dB on chip (tools/perf_r15.py), ~2 dB over the floors.
+    # Only landing on the last-resort 'safe' rung marks the run degraded.
     ladder = [
-        ("fast", dict(table_int8=True, exact_emit=False)),
-        ("safe", dict(table_int8=False, exact_emit=True)),
+        ("fast8", dict(table_int8=True, exact_emit=False, out=jnp.uint8)),
+        ("fast", dict(table_int8=True, exact_emit=False, out=None)),
+        ("safe", dict(table_int8=False, exact_emit=True, out=None)),
     ]
 
     mrays = None
     psnr_orbit = psnr_steep = None
     config_name = None
+    out_dtype = None
     for li, (name, knobs) in enumerate(ladder):
         try:
             if li > 0:
@@ -304,14 +311,16 @@ def main():
             display_warp._EXACT_EMIT = knobs["exact_emit"]
             _log(f"config '{name}': {knobs}")
             m, _ = run_throughput(grid, trs_list, payloads, static_pf,
-                                  fx, fy, opt, N_POSES)
+                                  fx, fy, opt, N_POSES,
+                                  out_dtype=knobs["out"])
             _log("quality gate: orbit pose vs exact rays")
-            p_orbit = gate_orbit(dev, grid, cams[0], opt, None)
+            p_orbit = gate_orbit(dev, grid, cams[0], opt, knobs["out"])
             _log(f"psnr_orbit {p_orbit:.2f} dB (floor {FLOOR_ORBIT})")
             if p_orbit < FLOOR_ORBIT:
                 raise AssertionError(
                     f"orbit gate: {p_orbit:.2f} dB < {FLOOR_ORBIT}")
             mrays, psnr_orbit, config_name = m, p_orbit, name
+            out_dtype = knobs["out"]
             break
         except Exception as e:
             errors.append(f"{name}: {type(e).__name__}: {e}")
@@ -327,20 +336,18 @@ def main():
             config=config_name,
         )
 
-    # ---- extra: RGBA8 display write-out throughput (fail-soft) ------------
-    # The headless/viewer display default (reference surf2Dwrite RGBA8,
-    # volrend.cu:166-172). Informational key; the official number above
-    # stays on the f32 emit config.
+    # ---- extra: f32 emit throughput (fail-soft, informational) ------------
+    # The precise-display emit (float frames, no display quantization) —
+    # the headline number above is the reference-protocol RGBA8 write-out.
     if mrays is not None and config_name == ladder[0][0]:
         try:
-            _log("extra: RGBA8 emit throughput")
-            m8, _ = run_throughput(grid, trs_list, payloads, static_pf,
-                                   fx, fy, opt, N_POSES,
-                                   out_dtype=jnp.uint8)
-            result["mrays_rgba8"] = round(m8, 3)
+            _log("extra: f32 emit throughput")
+            mf, _ = run_throughput(grid, trs_list, payloads, static_pf,
+                                   fx, fy, opt, N_POSES, out_dtype=None)
+            result["mrays_f32"] = round(mf, 3)
         except Exception as e:
-            errors.append(f"rgba8: {type(e).__name__}: {e}")
-            _log(f"rgba8 extra FAILED: {e}")
+            errors.append(f"f32: {type(e).__name__}: {e}")
+            _log(f"f32 extra FAILED: {e}")
             traceback.print_exc(file=sys.stderr)
 
     # ---- steep split-frame pose gate (fail-soft) --------------------------
@@ -368,10 +375,11 @@ def main():
         strs, spays, spf = group_poses(sgrid, scams, opt)
         sm, _ = run_throughput(sgrid, strs, spays, spf,
                                scams[0].fx, scams[0].fy, opt,
-                               N_POSES_SPARSE)
+                               N_POSES_SPARSE, out_dtype=out_dtype)
         result["sparse_mrays"] = round(sm, 3)
         _log("quality gate: sparse orbit pose")
-        p_sparse = gate_orbit(sdev, sgrid, scams[0], opt, None, stride=8)
+        p_sparse = gate_orbit(sdev, sgrid, scams[0], opt, out_dtype,
+                              stride=8)
         _log(f"psnr_sparse {p_sparse:.2f} dB (floor {FLOOR_SPARSE})")
         result["psnr_sparse_db"] = round(p_sparse, 2)
         if p_sparse < FLOOR_SPARSE:
@@ -383,9 +391,11 @@ def main():
 
     # ANY recorded error degrades the run — a gate-section crash (e.g. a
     # Mosaic compile failure in the steep/sparse render) means a quality
-    # class was never gated, which is as degraded as a failed gate
-    degraded = (mrays is None or config_name != ladder[0][0]
-                or bool(errors))
+    # class was never gated, which is as degraded as a failed gate. The
+    # fast8/fast rungs are both full-quality configs (they differ only in
+    # the display write-out dtype); only the last-resort 'safe' rung (or
+    # no number at all) marks the run degraded by itself.
+    degraded = (mrays is None or config_name == "safe" or bool(errors))
     if errors:
         result["errors"] = errors[:4]
     if degraded:
