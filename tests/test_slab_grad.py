@@ -893,3 +893,59 @@ def test_precise_sq_warp_vjp_matches_autodiff(monkeypatch):
     scale = max(float(np.abs(np.asarray(ref_grad)).max()), 1e-12)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
                                atol=5e-5 * scale, rtol=5e-4)
+
+
+def test_precise_sq_routing_in_warp_to_screen(monkeypatch):
+    """The parked _PRECISE_SQ knob routes _warp_to_screen(precise=True)
+    through the superquad custom-VJP warp behind a per-pose fits cond;
+    with the knob on, forward and VJP must match the reference precise
+    warp (the knob default is OFF — perf-parked, display_warp._PRECISE_SQ
+    note — but the routing must keep working for future re-tries)."""
+    import jax
+    from volrend_tpu.ops import display_warp, pallas_slab
+    from volrend_tpu.models.synthetic import make_test_tree
+    from volrend_tpu.ops import dense_grid as dg
+    from volrend_tpu.ops.camera import Camera
+
+    tree = make_test_tree(max_depth=3, basis_dim=4, seed=5,
+                          sigma_scale=60.0)
+    grid = dg.bake_dense(tree.to_device(lut_depth=None))
+    W = H = 200
+    gi = 96
+    back = np.asarray((1.0, 0.25, 0.35))
+    back /= np.linalg.norm(back)
+    cam = Camera.from_vectors(center=tuple(2.5 * back), v_back=tuple(back),
+                              v_world_up=(0.0, 0.0, 1.0), width=W,
+                              height=H, fx=280.0)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    g = slab_render.FrameGeom(grid, jnp.asarray(cam.transform), cam.fx,
+                              cam.fy, perm, flip, W, H, opt, gi)
+    rng = np.random.default_rng(23)
+    inter = jnp.asarray(rng.uniform(0.0, 1.0, (gi, gi, 4)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(H, W, 4)), jnp.float32)
+
+    def warp(it):
+        return slab_render._warp_to_screen(
+            it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du,
+            g.v0, g.dv, g.scale, precise=True)
+
+    ref_out, ref_vjp = jax.vjp(warp, inter)   # knob off: reference warp
+    ref_grad = ref_vjp(ct)[0]
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    monkeypatch.setattr(display_warp, "_PRECISE_SQ", True)
+    jax.clear_caches()
+    try:
+        out, f_vjp = jax.vjp(warp, inter)     # knob on: superquad route
+        grad = f_vjp(ct)[0]
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=5e-5)
+    scale = max(float(np.abs(np.asarray(ref_grad)).max()), 1e-12)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
+                               atol=5e-5 * scale, rtol=5e-4)

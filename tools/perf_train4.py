@@ -66,6 +66,10 @@ def self_times(trace_dir):
 
 
 def main():
+    if os.environ.get("VT_PRECISE_SQ") == "0":
+        from volrend_tpu.ops import display_warp
+        display_warp._PRECISE_SQ = False
+        log("knob: _PRECISE_SQ=False (reference warp VJP)")
     from volrend_tpu.models.synthetic import make_solid_tree
     from volrend_tpu.ops.camera import Camera
     from volrend_tpu.train import FrameTrainer

@@ -685,6 +685,19 @@ def make_warp_precise(opt_bg: float, width: int, height: int, gi: int,
     return warp
 
 
+#: training-path option: warp with the precise superquad (custom VJP)
+#: instead of autodiff of the reference quad-gather warp. PARKED OFF with
+#: fresh numbers: measured at the production gi=256/G=128/800^2 train
+#: step (tools/perf_train4.py, 2026-08-20) it is a +24 ms/step device
+#: REGRESSION (67.7 vs 43.7 ms) — the f32 window-table build + 160k-row
+#: scatter + adjoint kernels cost far more than the reference warp's
+#: whole VJP complex (640k-row scatter-add + sort + gather ~= 11 ms).
+#: This confirms the r3 gi=512 parking at the smaller gi too; don't
+#: re-try without a structurally different adjoint. Callers must
+#: jax.clear_caches() after flipping (read at trace time).
+_PRECISE_SQ = False
+
+
 def usable_precise(width: int, height: int, gi: int) -> bool:
     """Static gate for the training-path superquad warp."""
     return usable(width, height, gi)

@@ -894,13 +894,34 @@ def _warp_to_screen(inter, opt: RenderOptions, R, fx, fy,
                 inter, opt, R, fx, fy, width, height, gi, perm,
                 u0, du, v0, dv, scale, ndc=ndc, origin=origin,
                 bg_pix=bg_pix, out_dtype=out_dtype, planar=planar)
-    # NOTE: a superquad PRECISE warp with a hand-written VJP exists
-    # (display_warp.make_warp_precise, gradient-parity gated) but
-    # measured SLOWER in the training step than autodiff of this
-    # reference warp (87.4 vs 66.8 ms/step wall at 800^2/G=128/gi=512:
-    # the f32 window table moves 4x the display path's bytes and the
-    # adjoint's relayout transposes re-spend the 4x-fewer-scatter-rows
-    # win). Parked; the training path keeps the reference warp.
+    elif (bg_pix is None and display_warp._PRECISE_SQ
+          and display_warp.usable_precise(width, height, gi)):
+        # training path OPTION (default OFF — _PRECISE_SQ): the superquad
+        # PRECISE warp (hand-written VJP, gradient-parity gated). Measured
+        # a +24 ms/step device regression vs autodiff of the reference
+        # warp at BOTH gi=512 (r3) and the production gi=256 (r4,
+        # tools/perf_train4.py) — see the _PRECISE_SQ note. The routing is
+        # kept (tested in the interpret suite) for future adjoint
+        # redesigns. Per-pose lax.cond falls back to the reference warp
+        # when a wide-FOV/grazing pose misfits the 4x4 window (same gate
+        # as the display path).
+        from volrend_tpu.ops.display_warp import to_display_dtype as to_dd
+        itc = jnp.moveaxis(inter, 0, -1) if planar else inter
+        _, _, _, _, _, fits = display_warp._sub_geometry(
+            R, fx, fy, width, height, gi, perm, u0, du, v0, dv, scale,
+            ndc=ndc, origin=origin)
+        wsq = display_warp.make_warp_precise(
+            float(opt.background_brightness), width, height, gi, perm, ndc)
+        geomt = (R, fx, fy, u0, du, v0, dv, scale,
+                 (jnp.zeros((3,), _F32) if origin is None else origin))
+        return to_dd(lax.cond(
+            fits,
+            lambda it: wsq(it, geomt),
+            lambda it: _warp_to_screen_ref(
+                it, opt, R, fx, fy, width, height, gi, perm,
+                u0, du, v0, dv, scale, precise=True, ndc=ndc,
+                origin=origin),
+            itc), out_dtype)
     from volrend_tpu.ops.display_warp import to_display_dtype
     if planar:
         inter = jnp.moveaxis(inter, 0, -1)

@@ -238,8 +238,14 @@ class FrameTrainer(Trainer):
             raise ValueError("pose not slab-renderable; use Trainer.step")
         return perm, flip
 
-    def step_frame(self, cam, target) -> float:
-        """One SGD step on a full frame; returns the loss."""
+    def step_frame(self, cam, target, sync: bool = True):
+        """One SGD step on a full frame; returns the loss.
+
+        sync=False returns the loss as a DEVICE array without blocking:
+        steps then enqueue back-to-back and the dispatch round trip
+        (~26 ms through the axon tunnel) overlaps device compute — the
+        steady-state regime of a real training loop. Fetch any returned
+        loss (float()) to synchronize."""
         perm, flip = self._group(cam)
         self.pyramid, self.opt_state, loss = _frame_step(
             self.pyramid, self.opt_state, self.bmap, self.grid,
@@ -247,7 +253,7 @@ class FrameTrainer(Trainer):
             float(cam.fx), float(cam.fy), perm, flip,
             cam.width, cam.height, self.opt, self.gi, self.optimizer)
         self.step_count += 1
-        return float(loss)
+        return float(loss) if sync else loss
 
     def step_frame_zsharded(self, mesh, cam, target,
                             axis_name: str = "z") -> float:
