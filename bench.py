@@ -68,6 +68,10 @@ def get_tree():
     from volrend_tpu.models.n3tree import N3Tree
     from volrend_tpu.models.synthetic import make_test_tree
 
+    if os.environ.get("VT_BENCH_INJECT_FAIL") == "tree":
+        # test hook (tests/test_tools.py): the fail-soft contract must
+        # survive any crash — one JSON line, exit 0 (VERDICT r3 item 2)
+        raise RuntimeError("injected tree-load failure")
     if os.path.isfile(CACHE):
         try:
             return N3Tree(CACHE)

@@ -96,3 +96,28 @@ def test_sh_lobe_mesh(tmp_path):
     back = load_basic_obj(p)
     np.testing.assert_allclose(back.vert[:, :3], m.vert[:, :3], atol=1e-5)
     np.testing.assert_allclose(back.vert[:, 3:6], m.vert[:, 3:6], atol=1e-3)
+
+
+def test_bench_fail_soft_contract():
+    """bench.py must survive ANY crash with exactly one JSON line on
+    stdout and exit code 0 (VERDICT r3 item 2 — a failed knob/compile can
+    never erase a round's perf evidence). Injects a tree-load failure via
+    the VT_BENCH_INJECT_FAIL hook and checks the degraded record."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, VT_BENCH_INJECT_FAIL="tree",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
+                       capture_output=True, text=True, timeout=300,
+                       env=env, cwd=root)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "render_throughput_800x800_sh16"
+    assert rec["degraded"] is True
+    assert any("injected" in e for e in rec["errors"])
