@@ -92,12 +92,20 @@ _EXACT_EMIT = False
 _TABLE_INT8 = True
 
 
-def usable(width: int, height: int, gi: int, block: int = 2) -> bool:
+def _block2d(block) -> Tuple[int, int]:
+    """Normalize a block spec to (By, Bx): ints are square blocks."""
+    if isinstance(block, tuple):
+        return int(block[0]), int(block[1])
+    return int(block), int(block)
+
+
+def usable(width: int, height: int, gi: int, block=2) -> bool:
     """Static gate: the superquad path needs block-divisible screen dims, a
     window margin in the intermediate grid, and sub-cell-per-pixel motion
-    (see module docstring)."""
+    (see module docstring). ``block`` is an int (square) or (By, Bx)."""
     from volrend_tpu.ops import pallas_slab
-    return (width % block == 0 and height % block == 0 and gi >= 8
+    by, bx = _block2d(block)
+    return (width % bx == 0 and height % by == 0 and gi >= 8
             and gi <= min(width, height) and pallas_slab.available())
 
 
@@ -198,26 +206,27 @@ def _emit_mats(Wh: int, B: int = 2) -> np.ndarray:
 
 
 def _make_combine_kernel(BH: int, Wh: int, bg: float,
-                         has_mesh: bool = False, B: int = 2,
+                         has_mesh: bool = False, B=2,
                          exact: bool = True, qscale: float = 1.0,
                          qshift: float = 0.0, out_dtype=jnp.float32):
-    W4 = 4 * B * Wh
+    By, Bx = _block2d(B)
+    W4 = 4 * Bx * Wh
 
     def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, *rest):
         if has_mesh:
             mp_ref, out_ref = rest
         else:
             out_ref, = rest
-        ri = jax.lax.broadcasted_iota(jnp.int32, (B * BH, W4), 0)
-        out = jnp.zeros((B * BH, W4), jnp.float32)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (By * BH, W4), 0)
+        out = jnp.zeros((By * BH, W4), jnp.float32)
         # dequant each window channel ONCE per grid step (every plane is
-        # read by all B^2 subpixels; converting inside the subpixel loop
-        # cost B^2 x 64 converts instead of 64 — ~0.03 ms/frame of VPU)
+        # read by all By*Bx subpixels; converting inside the subpixel loop
+        # cost By*Bx x 64 converts instead of 64 — ~0.03 ms/frame of VPU)
         qgf = [qg_ref[ch].astype(jnp.float32) for ch in range(64)]
-        for p in range(B):
+        for p in range(By):
             half = jnp.zeros((BH, W4), jnp.float32)
-            for q in range(B):
-                s = p * B + q
+            for q in range(Bx):
+                s = p * Bx + q
                 # clamp to the window: identity for in-window taps; a
                 # rare misfit quad (projective stretch > 3 cells, image
                 # edges) snaps to the window-edge cell, not losing mass
@@ -280,10 +289,10 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
                             part, e_ref[q * 4 + c],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-            # row interleave: sublane expand xB + parity select
+            # row interleave: sublane expand xBy + parity select
             repB = jnp.broadcast_to(
-                half[:, None, :], (BH, B, W4)).reshape(B * BH, W4)
-            out = jnp.where((ri % B) == p, repB, out)
+                half[:, None, :], (BH, By, W4)).reshape(By * BH, W4)
+            out = jnp.where((ri % By) == p, repB, out)
         if out_dtype == jnp.uint8:
             # RGBA8 display write-out (the reference's surf2Dwrite RGBA8,
             # volrend.cu:166-172). Mosaic cannot lower a f32->uint8 cast
@@ -298,44 +307,45 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
 
 
 def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
-                  mesh_planes=None, B: int = 2,
+                  mesh_planes=None, B=2,
                   exact: Optional[bool] = None, qscale: float = 1.0,
                   qshift: float = 0.0, out_dtype=jnp.float32):
     """(64, Hh, Wh) gathered window planes + per-subpixel positions ->
-    (B*Hh, 4*B*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
-    mesh_planes: optional (4*B^2, Hh, Wh) subpixel-split mesh buffers
+    (By*Hh, 4*Bx*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
+    mesh_planes: optional (4*By*Bx, Hh, Wh) subpixel-split mesh buffers
     [s*4 + (r, g, b, hit)] for per-pixel background compositing."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    By, Bx = _block2d(B)
     # Mosaic block rule: second-minor block dim must be a multiple of 8
     # or the full dimension; keep M near 128 for the emit matmuls
     cands = [b for b in range(8, min(_BH_COMBINE, Hh) + 1, 8)
              if Hh % b == 0]
     BH = max(cands) if cands else Hh
-    W4 = 4 * B * Wh
+    W4 = 4 * Bx * Wh
     if exact is None:
         exact = _EXACT_EMIT
-    E = jnp.asarray(_emit_mats(Wh, B), jnp.bfloat16)
+    E = jnp.asarray(_emit_mats(Wh, Bx), jnp.bfloat16)
     kern = _make_combine_kernel(BH, Wh, bg,
-                                has_mesh=mesh_planes is not None, B=B,
+                                has_mesh=mesh_planes is not None, B=(By, Bx),
                                 exact=exact, qscale=qscale, qshift=qshift,
                                 out_dtype=out_dtype)
     # Mosaic cannot cast f32->uint8 in-kernel: the kernel emits rounded
     # f32 display values; the uint8 convert happens here in XLA.
     kdtype = jnp.float32 if out_dtype == jnp.uint8 else out_dtype
     blk = lambda n: pl.BlockSpec((n, BH, Wh), lambda i: (0, i, 0))
-    in_specs = [blk(64), blk(B * B), blk(B * B), blk(B * B),
-                pl.BlockSpec((4 * B, Wh, W4), lambda i: (0, 0, 0))]
+    in_specs = [blk(64), blk(By * Bx), blk(By * Bx), blk(By * Bx),
+                pl.BlockSpec((4 * Bx, Wh, W4), lambda i: (0, 0, 0))]
     args = [qgp, ry, rx, okm, E]
     if mesh_planes is not None:
-        in_specs.append(blk(4 * B * B))
+        in_specs.append(blk(4 * By * Bx))
         args.append(mesh_planes)
     out = pl.pallas_call(
         kern,
         grid=(Hh // BH,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((B * BH, W4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * Hh, W4), kdtype),
+        out_specs=pl.BlockSpec((By * BH, W4), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((By * Hh, W4), kdtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -347,32 +357,33 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
 
 def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
                   perm: Tuple[int, int, int], u0, du, v0, dv, scale,
-                  ndc=None, origin=None, B: int = 2):
+                  ndc=None, origin=None, B=2):
     """Per-subpixel slope-grid coordinates + the shared 4x4 window corner
-    for BxB-screen-pixel superquad blocks.
+    for ByxBx-screen-pixel superquad blocks.
 
-    Returns (gys, gxs, okm, Y0, X0, fits): (B^2, Hh, Wh) clipped subpixel
-    positions / ok masks, (Hh, Wh) int32 window corners, and the
+    Returns (gys, gxs, okm, Y0, X0, fits): (By*Bx, Hh, Wh) clipped
+    subpixel positions / ok masks, (Hh, Wh) int32 window corners, and the
     whole-frame bulk-misfit predicate (see warp_to_screen_sq)."""
     from volrend_tpu.ops.slab_render import _slopes_from_dirs
-    Hh, Wh = height // B, width // B
+    By, Bx = _block2d(B)
+    Hh, Wh = height // By, width // Bx
 
     if ndc is None:
         # world-space pinhole: the pixel->slope map is a homography, so
         # the three permuted tree-dir components are LINEAR forms of the
         # subpixel coordinates — evaluate them as fused broadcasts over a
-        # (B^2, Hh, Wh) leading-subpixel layout (one XLA fusion, no
+        # (By*Bx, Hh, Wh) leading-subpixel layout (one XLA fusion, no
         # per-subpixel python loop / (...,3) stacks / einsum
         # materializations: those cost ~0.1 ms/frame of copies at 800^2,
         # profiled tools/perf_r8 r4)
         sc = jnp.broadcast_to(jnp.asarray(scale, _F32), (3,))
-        po, qo = np.mgrid[0:B, 0:B].reshape(2, -1).astype(np.float32)
-        xs = ((jnp.arange(Wh, dtype=_F32)[None, :] * B
+        po, qo = np.mgrid[0:By, 0:Bx].reshape(2, -1).astype(np.float32)
+        xs = ((jnp.arange(Wh, dtype=_F32)[None, :] * Bx
                + jnp.asarray(qo)[:, None] - 0.5 * width)
-              / fx)[:, None, :]                     # (B^2, 1, Wh)
-        ys = (-(jnp.arange(Hh, dtype=_F32)[None, :] * B
+              / fx)[:, None, :]                     # (By*Bx, 1, Wh)
+        ys = (-(jnp.arange(Hh, dtype=_F32)[None, :] * By
                 + jnp.asarray(po)[:, None] - 0.5 * height)
-              / fy)[:, :, None]                     # (B^2, Hh, 1)
+              / fy)[:, :, None]                     # (By*Bx, Hh, 1)
 
         def lin(k):
             # d_tree[perm[k]] = scale_k * (xs*R[k,0] + ys*R[k,1] - R[k,2])
@@ -387,8 +398,8 @@ def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
     else:
         # NDC warp of dirs is origin-dependent — keep the general path
         def sub_slopes(p: int, q: int):
-            xs = (jnp.arange(Wh, dtype=_F32) * B + q - 0.5 * width) / fx
-            ys = -(jnp.arange(Hh, dtype=_F32) * B + p - 0.5 * height) / fy
+            xs = (jnp.arange(Wh, dtype=_F32) * Bx + q - 0.5 * width) / fx
+            ys = -(jnp.arange(Hh, dtype=_F32) * By + p - 0.5 * height) / fy
             d_cam = jnp.stack([
                 jnp.broadcast_to(xs[None, :], (Hh, Wh)),
                 jnp.broadcast_to(ys[:, None], (Hh, Wh)),
@@ -401,8 +412,8 @@ def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
             us, vs = _slopes_from_dirs(d_tree, perm)
             return (us - u0) / du, (vs - v0) / dv
 
-        subs = [sub_slopes(p, q) for p in range(B) for q in range(B)]
-        gy = jnp.stack([s[0] for s in subs])        # (B^2, Hh, Wh)
+        subs = [sub_slopes(p, q) for p in range(By) for q in range(Bx)]
+        gy = jnp.stack([s[0] for s in subs])        # (By*Bx, Hh, Wh)
         gx = jnp.stack([s[1] for s in subs])
 
     ok = (gy >= 0) & (gy <= gi - 1) & (gx >= 0) & (gx <= gi - 1)
@@ -443,17 +454,20 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                       perm: Tuple[int, int, int],
                       u0, du, v0, dv, scale,
                       ndc: Optional[tuple] = None, origin=None,
-                      bg_pix=None, block: int = 2, out_dtype=None,
+                      bg_pix=None, block=(2, 4), out_dtype=None,
                       planar: bool = False):
     """Drop-in twin of slab_render._warp_to_screen (display path): warp the
     (gi, gi, 4) intermediate image to (H, W, 4) + background composite.
 
-    block: largest superquad block size to try. Each block size has a
-    per-pose misfit gate (a BxB-pixel block's bilinear footprint must fit
-    the 4x4 window); poses fall through block -> 2 -> the reference warp
-    via nested lax.cond. block=4 quarters the gather rows again and halves
-    the emit-matmul contraction; it fits whenever pixel motion is
-    <~(2/3) cell (gi <= ~0.8*W at bench-like poses).
+    block: largest superquad block (By, Bx) (int = square) to try. Each
+    block size has a per-pose misfit gate (the block's bilinear footprint
+    must fit the 4x4 window); poses fall through block -> 2x2 -> the
+    reference warp via nested lax.cond. The (2, 4) production default
+    halves the gather rows vs 2x2 by widening only along screen x, where
+    a 4-pixel footprint (~1.3 cells at gi=256/800^2 + bilinear) still
+    sits far inside the window — so it fits the poses that broke the
+    parked square 4x4 (which needed the margin in BOTH axes). block=4
+    quarters the rows but fits only near-axis poses.
 
     planar=True: ``inter`` is channel-planar (4, gi, gi) — the march
     kernel's native emit layout. The fast path feeds it straight to the
@@ -467,12 +481,14 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
              hit.astype(_F32)[..., None]], -1)       # (H, W, 4)
 
     def make_fast(B, gys, gxs, okm, Y0, X0):
-        Hh, Wh = height // B, width // B
+        By, Bx = _block2d(B)
+        Hh, Wh = height // By, width // Bx
         mesh_planes = None
         if mrgba is not None:
             mesh_planes = jnp.stack(
-                [mrgba[p::B, q::B, c]
-                 for p in range(B) for q in range(B) for c in range(4)], 0)
+                [mrgba[p::By, q::Bx, c]
+                 for p in range(By) for q in range(Bx) for c in range(4)],
+                0)
 
         def fast(it_in):
             tdt = jnp.int8 if _TABLE_INT8 else jnp.bfloat16
@@ -504,8 +520,10 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
             bg_pix=bg_pix), out_dtype)
 
     fn = slow
-    for B in sorted({b for b in (2, block)
-                     if usable(width, height, gi, block=b)}):
+    cascade = sorted({_block2d(b) for b in ((2, 2), block)
+                      if usable(width, height, gi, block=b)},
+                     key=lambda b: b[0] * b[1])
+    for B in cascade:
         gys, gxs, okm, Y0, X0, fits = _sub_geometry(
             R, fx, fy, width, height, gi, perm, u0, du, v0, dv, scale,
             ndc=ndc, origin=origin, B=B)
