@@ -252,12 +252,16 @@ def gate_orbit(dev, grid, cam, opt, out_dtype, stride=5):
     return _psnr(got[:, :3], exact[:, :3])
 
 
-def gate_steep(dev, grid, opt, stride=8):
+def gate_steep(dev, grid, opt, out_dtype=None, stride=8):
     """Split-frame steep-pose PSNR vs exact rays (render_image routes the
-    past-MAX_SLAB_SLOPE pose through the <=6-pass split renderer)."""
+    past-MAX_SLAB_SLOPE pose through the <=6-pass split renderer), rendered
+    with the SAME display dtype as the throughput run so uint8 display
+    quantization is priced into this gate too (the split path stitches in
+    f32 and converts once at the end)."""
     from volrend_tpu.ops import slab_render
     cam = steep_pose()
-    frame = _as_float_frame(slab_render.render_image(grid, cam, opt, gi=GI))
+    frame = _as_float_frame(slab_render.render_image(
+        grid, cam, opt, gi=GI, out_dtype=out_dtype))
     sel, exact = _exact_rays(dev, cam, opt, stride)
     got = frame.reshape(-1, 4)[sel]
     return _psnr(got[:, :3], exact[:, :3])
@@ -294,7 +298,10 @@ def main():
     # The HEADLINE config is the RGBA8 display write-out — the protocol the
     # reference times (surf2Dwrite RGBA8, volrend.cu:166-172); it gates at
     # 55.90/49.83 dB on chip (tools/perf_r15.py), ~2 dB over the floors.
-    # Only landing on the last-resort 'safe' rung marks the run degraded.
+    # Note: ANY rung failure is recorded in ``errors`` and so degrades the
+    # run (a fast8 -> fast fall means the RGBA8 protocol config broke);
+    # landing on the last-resort 'safe' rung additionally degrades by
+    # itself even if nothing errored before it.
     ladder = [
         ("fast8", dict(table_int8=True, exact_emit=False, out=jnp.uint8)),
         ("fast", dict(table_int8=True, exact_emit=False, out=None)),
@@ -357,7 +364,7 @@ def main():
     # ---- steep split-frame pose gate (fail-soft) --------------------------
     try:
         _log("quality gate: steep split-frame pose")
-        psnr_steep = gate_steep(dev, grid, opt)
+        psnr_steep = gate_steep(dev, grid, opt, out_dtype=out_dtype)
         _log(f"psnr_steep {psnr_steep:.2f} dB (floor {FLOOR_STEEP})")
         result["psnr_steep_db"] = round(psnr_steep, 2)
         if psnr_steep < FLOOR_STEEP:

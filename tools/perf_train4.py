@@ -66,10 +66,13 @@ def self_times(trace_dir):
 
 
 def main():
-    if os.environ.get("VT_PRECISE_SQ") == "0":
+    # VT_PRECISE_SQ=1 enables the (parked, default-off) precise-superquad
+    # training warp so the documented +24 ms/step comparison stays
+    # reproducible; =0 forces the reference-warp VJP explicitly.
+    if os.environ.get("VT_PRECISE_SQ") in ("0", "1"):
         from volrend_tpu.ops import display_warp
-        display_warp._PRECISE_SQ = False
-        log("knob: _PRECISE_SQ=False (reference warp VJP)")
+        display_warp._PRECISE_SQ = os.environ["VT_PRECISE_SQ"] == "1"
+        log(f"knob: _PRECISE_SQ={display_warp._PRECISE_SQ}")
     from volrend_tpu.models.synthetic import make_solid_tree
     from volrend_tpu.ops.camera import Camera
     from volrend_tpu.train import FrameTrainer

@@ -295,10 +295,13 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
             out = jnp.where((ri % By) == p, repB, out)
         if out_dtype == jnp.uint8:
             # RGBA8 display write-out (the reference's surf2Dwrite RGBA8,
-            # volrend.cu:166-172). Mosaic cannot lower a f32->uint8 cast
-            # in-kernel (r3 bench crash, BENCH_r03.json): emit the rounded
-            # display values as f32 and convert to uint8 in XLA right
-            # after the pallas_call (_combine_emit).
+            # volrend.cu:166-172; rounds+clamps and keeps computed alpha
+            # where the reference truncates and forces alpha=255 — see
+            # to_display_dtype for the deliberate fidelity difference).
+            # Mosaic cannot lower a f32->uint8 cast in-kernel (r3 bench
+            # crash, BENCH_r03.json): emit the rounded display values as
+            # f32 and convert to uint8 in XLA right after the pallas_call
+            # (_combine_emit).
             out_ref[...] = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0)
         else:
             out_ref[...] = out.astype(out_dtype)
@@ -441,7 +444,15 @@ def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
 
 def to_display_dtype(x, out_dtype):
     """Convert a float rgba frame to the requested display dtype (uint8 =
-    the reference's RGBA8 write-out; None = keep)."""
+    the reference's RGBA8 write-out protocol; None = keep).
+
+    Deliberate fidelity difference from the cited write-out
+    (volrend.cu:166-172): the reference truncates ``uint8_t(v * 255)``
+    without clamping and forces alpha = 255, while this path rounds with a
+    [0, 1] clamp and keeps the computed alpha — slightly HIGHER fidelity
+    than the protocol it mirrors (half-ulp max error instead of a full
+    truncation ulp), never lower. Bit-level protocol parity is not
+    claimed anywhere; quality gates compare against the exact renderer."""
     if out_dtype is None or x.dtype == out_dtype:
         return x
     if out_dtype == jnp.uint8:
