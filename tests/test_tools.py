@@ -121,3 +121,39 @@ def test_bench_fail_soft_contract():
     assert rec["metric"] == "render_throughput_800x800_sh16"
     assert rec["degraded"] is True
     assert any("injected" in e for e in rec["errors"])
+
+
+def test_bench_scaling_contract(tmp_path):
+    """tools/bench_scaling.py must produce the scaling artifact: render +
+    train efficiency per device count, merged into the --out JSON
+    (VERDICT r4 item 3 — the BASELINE >=90% target needs a recorded,
+    reproducible measurement of what this environment can measure)."""
+    import importlib.util
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_scaling_test_mod",
+        os.path.join(root, "tools", "bench_scaling.py"))
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    out = str(tmp_path / "scal.json")
+    doc = bs.main(["--out", out, "--counts", "1,2",
+                   "--rays-per-dev", "2048", "--frame-side", "16",
+                   "--reps", "1"])
+    with open(out) as f:
+        ondisk = json.load(f)
+    for d in (doc, ondisk):
+        cm = d["cpu_mesh"]
+        assert set(cm["render_efficiency"]) == {"1", "2"}
+        assert set(cm["train_efficiency"]) == {"1", "2"}
+        assert cm["render_efficiency"]["1"] == 1.0
+        assert all(v > 0 for v in cm["render_mrays_per_count"].values())
+        assert all(v > 0 for v in cm["train_steps_per_s_per_count"].values())
+    # merge semantics: a second run must preserve existing keys
+    with open(out, "w") as f:
+        json.dump(dict(ondisk, tpu_1chip={"render_mrays": 1.0}), f)
+    doc2 = bs.main(["--out", out, "--counts", "1",
+                    "--rays-per-dev", "2048", "--frame-side", "16",
+                    "--reps", "1"])
+    assert doc2["tpu_1chip"]["render_mrays"] == 1.0
