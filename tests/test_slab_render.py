@@ -1181,3 +1181,58 @@ def test_split_frame_elevation_sweep(scene):
         p = psnr(out[..., :3], ref[..., :3])
         assert p > 26.0, f"elev={elev} steep={steep} PSNR {p:.1f}"
     assert steep_seen >= 1, "sweep never hit the steep regime"
+
+
+def test_superquad_warp_block44_win54(scene, monkeypatch):
+    """The (4,4)-screen-pixel block with a 5x4 gather window (the r5
+    cascade candidate: half the gather rows of (2,4); the 5th window row
+    buys the y margin the parked square-window 4x4 lacked) must match the
+    reference warp wherever its fit predicate passes, and its fit must
+    actually pass on a production-like pose."""
+    import jax
+    from volrend_tpu.ops import display_warp, pallas_slab
+    dev, grid = scene
+    W = H = 200
+    gi = 96
+    back = np.asarray((1.0, 0.25, 0.35))
+    back /= np.linalg.norm(back)
+    cam = Camera.from_vectors(center=tuple(2.5 * back), v_back=tuple(back),
+                              v_world_up=(0.0, 0.0, 1.0), width=W,
+                              height=H, fx=280.0)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, _ = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    g = slab_render.FrameGeom(grid, jnp.asarray(cam.transform), cam.fx,
+                              cam.fy, perm, flip, W, H, opt, gi)
+    rng = np.random.default_rng(17)
+    inter = jnp.asarray(rng.uniform(0.0, 1.0, (gi, gi, 4)), jnp.float32)
+    ref = np.asarray(jax.jit(lambda it: slab_render._warp_to_screen_ref(
+        it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0,
+        g.dv, g.scale))(inter))
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    jax.clear_caches()
+    try:
+        for win in ((5, 4), (5, 5)):
+            B = (4, 4)
+            gys, gxs, okm, Y0, X0, fits = display_warp._sub_geometry(
+                g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du, g.v0, g.dv,
+                g.scale, B=B, win=win)
+            assert bool(fits), f"pose must fit (4,4) x {win}"
+            # corners must leave the full window inside the grid
+            assert int(np.max(np.asarray(Y0))) <= gi - win[0]
+            assert int(np.max(np.asarray(X0))) <= gi - win[1]
+            casc = np.asarray(jax.jit(
+                lambda it, win=win: display_warp.warp_to_screen_sq(
+                    it, opt, g.R, g.fx, g.fy, W, H, gi, perm, g.u0, g.du,
+                    g.v0, g.dv, g.scale,
+                    block=(((2, 2), (4, 4)), (B, win))))(inter))
+            # int8 table quantum + display-emit bf16 ulp (same budget as
+            # the (2,4)/(4,4)-window parity gates)
+            np.testing.assert_allclose(casc, ref, atol=1.6e-2)
+            assert np.any(casc != ref)  # the quantized-table branch ran
+            np.testing.assert_array_equal(casc[..., 3] == 0.0,
+                                          ref[..., 3] == 0.0)
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()

@@ -99,25 +99,30 @@ def _block2d(block) -> Tuple[int, int]:
     return int(block), int(block)
 
 
-def usable(width: int, height: int, gi: int, block=2) -> bool:
+def usable(width: int, height: int, gi: int, block=2, win=(4, 4)) -> bool:
     """Static gate: the superquad path needs block-divisible screen dims, a
     window margin in the intermediate grid, and sub-cell-per-pixel motion
-    (see module docstring). ``block`` is an int (square) or (By, Bx)."""
+    (see module docstring). ``block`` is an int (square) or (By, Bx);
+    ``win`` the (Wy, Wx) gather window."""
     from volrend_tpu.ops import pallas_slab
     by, bx = _block2d(block)
+    wy, wx = _win2d(win)
     return (width % bx == 0 and height % by == 0 and gi >= 8
+            and gi >= 2 * max(wy, wx)
             and gi <= min(width, height) and pallas_slab.available())
 
 
-def _chan(cy: int, cx: int, c: int) -> int:
-    """Packed-table channel of window cell (cy, cx) in [0,4)^2, color c."""
-    a, i = cy // 2, cy % 2
-    b, j = cx // 2, cx % 2
-    return a * 32 + b * 16 + i * 8 + j * 4 + c
+def _chan(cy: int, cx: int, c: int, win: Tuple[int, int] = (4, 4)) -> int:
+    """Packed-table channel of window cell (cy, cx) in [0,Wy)x[0,Wx),
+    color c. Row-major over (cy, cx) with the 4 colors minor."""
+    return (cy * win[1] + cx) * 4 + c
 
 
-_ORDER = sorted((_chan(cy, cx, c), cy, cx, c)
-                for cy in range(4) for cx in range(4) for c in range(4))
+def _win2d(win) -> Tuple[int, int]:
+    """Normalize a window spec to (Wy, Wx)."""
+    if isinstance(win, tuple):
+        return int(win[0]), int(win[1])
+    return int(win), int(win)
 
 
 def _interpret() -> bool:
@@ -129,47 +134,54 @@ def _interpret() -> bool:
 # table build: planar shifted planes (Pallas) + transpose folded into gather
 # ---------------------------------------------------------------------------
 
-def _make_build(gi: int, dtype=jnp.bfloat16):
-    """Kernel emitting all 64 window-table channels in planar
-    (64, rows, gi-3) layout in ONE call. One dynamic row-block load per
+def _make_build(gi: int, dtype=jnp.bfloat16, win: Tuple[int, int] = (4, 4)):
+    """Kernel emitting all 4*Wy*Wx window-table channels in planar
+    (C, rows, gi-Wx+1) layout in ONE call. One dynamic row-block load per
     color plane, static shifted subslices after (Mosaic compiles exactly
     this shape of the problem — see module docstring). The r3 version
     split the channels over 4 calls; the merge removes 3 dispatches and
     the XLA concat materialization between them."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    W3 = gi - 3
+    Wy, Wx = _win2d(win)
+    C = 4 * Wy * Wx
+    H3, W3 = gi - Wy + 1, gi - Wx + 1
     # int8 VMEM tiling is (32, 128): the dynamic sublane offset i*BH and
     # the output block's second-minor dim must stay tile-aligned
     BH = 32 if dtype == jnp.int8 else _BH_BUILD
-    nb = -(-W3 // BH)
+    nb = -(-H3 // BH)
 
     def kernel(it_ref, out_ref):
         i = pl.program_id(0)
-        blk = [it_ref[c, pl.ds(i * BH, BH + 3), :] for c in range(4)]
-        for k in range(64):
-            _, cy, cx, c = _ORDER[k]
+        blk = [it_ref[c, pl.ds(i * BH, BH + Wy - 1), :] for c in range(4)]
+        for k in range(C):
+            cy, cx, c = k // (4 * Wx), (k // 4) % Wx, k % 4
             out_ref[k] = blk[c][cy:cy + BH, cx:cx + W3]
 
     return pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((4, nb * BH + 3, gi), lambda i: (0, 0, 0))],
-        out_specs=pl.BlockSpec((64, BH, W3), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((64, nb * BH, W3), dtype),
+        in_specs=[pl.BlockSpec((4, nb * BH + Wy - 1, gi),
+                               lambda i: (0, 0, 0))],
+        out_specs=pl.BlockSpec((C, BH, W3), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((C, nb * BH, W3), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_interpret(),
     ), nb * BH
 
 
-def _build_table(inter, gi: int, dtype=jnp.bfloat16, planar: bool = False):
-    """(gi, gi, 4) f32 -> ((gi-3)^2, 64) window-row table (as the free
-    transpose of the planar Pallas build). int8 (affine fixed point, see
-    _TABLE_INT8) on the display path, f32 on the precise (training)
-    path. planar=True: ``inter`` is already channel-planar (4, gi, gi) —
-    the march kernel's native emit layout — skipping the XLA relayout."""
-    W3 = gi - 3
+def _build_table(inter, gi: int, dtype=jnp.bfloat16, planar: bool = False,
+                 win: Tuple[int, int] = (4, 4)):
+    """(gi, gi, 4) f32 -> ((gi-Wy+1)*(gi-Wx+1), 4*Wy*Wx) window-row table
+    (as the free transpose of the planar Pallas build). int8 (affine
+    fixed point, see _TABLE_INT8) on the display path, f32 on the precise
+    (training) path. planar=True: ``inter`` is already channel-planar
+    (4, gi, gi) — the march kernel's native emit layout — skipping the
+    XLA relayout."""
+    Wy, Wx = _win2d(win)
+    C = 4 * Wy * Wx
+    H3, W3 = gi - Wy + 1, gi - Wx + 1
     itp = inter if planar else jnp.transpose(inter, (2, 0, 1))
     if dtype == jnp.int8:
         # affine fixed point: q = round(v*255) - 128 (see _TABLE_INT8)
@@ -177,9 +189,9 @@ def _build_table(inter, gi: int, dtype=jnp.bfloat16, planar: bool = False):
                ).astype(jnp.int8)
     else:
         itp = itp.astype(dtype)
-    call, Hp = _make_build(gi, dtype)
-    itp = jnp.pad(itp, ((0, 0), (0, Hp + 3 - gi), (0, 0)))
-    tblp = call(itp)[:, :W3].reshape(64, W3 * W3)
+    call, Hp = _make_build(gi, dtype, win=(Wy, Wx))
+    itp = jnp.pad(itp, ((0, 0), (0, Hp + Wy - 1 - gi), (0, 0)))
+    tblp = call(itp)[:, :H3].reshape(C, H3 * W3)
     return jnp.transpose(tblp, (1, 0))
 
 
@@ -208,8 +220,11 @@ def _emit_mats(Wh: int, B: int = 2) -> np.ndarray:
 def _make_combine_kernel(BH: int, Wh: int, bg: float,
                          has_mesh: bool = False, B=2,
                          exact: bool = True, qscale: float = 1.0,
-                         qshift: float = 0.0, out_dtype=jnp.float32):
+                         qshift: float = 0.0, out_dtype=jnp.float32,
+                         win: Tuple[int, int] = (4, 4)):
     By, Bx = _block2d(B)
+    Wy, Wx = _win2d(win)
+    C = 4 * Wy * Wx
     W4 = 4 * Bx * Wh
 
     def kernel(qg_ref, ry_ref, rx_ref, ok_ref, e_ref, *rest):
@@ -221,33 +236,34 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
         out = jnp.zeros((By * BH, W4), jnp.float32)
         # dequant each window channel ONCE per grid step (every plane is
         # read by all By*Bx subpixels; converting inside the subpixel loop
-        # cost By*Bx x 64 converts instead of 64 — ~0.03 ms/frame of VPU)
-        qgf = [qg_ref[ch].astype(jnp.float32) for ch in range(64)]
+        # cost By*Bx x C converts instead of C — ~0.03 ms/frame of VPU)
+        qgf = [qg_ref[ch].astype(jnp.float32) for ch in range(C)]
         for p in range(By):
             half = jnp.zeros((BH, W4), jnp.float32)
             for q in range(Bx):
                 s = p * Bx + q
                 # clamp to the window: identity for in-window taps; a
-                # rare misfit quad (projective stretch > 3 cells, image
-                # edges) snaps to the window-edge cell, not losing mass
-                ryv = jnp.clip(ry_ref[s], 0.0, 3.0)
-                rxv = jnp.clip(rx_ref[s], 0.0, 3.0)
+                # rare misfit quad (projective stretch past the window,
+                # image edges) snaps to the window-edge cell, not losing
+                # mass
+                ryv = jnp.clip(ry_ref[s], 0.0, Wy - 1.0)
+                rxv = jnp.clip(rx_ref[s], 0.0, Wx - 1.0)
                 wy = [jnp.maximum(0.0, 1.0 - jnp.abs(ryv - cy))
-                      for cy in range(4)]
+                      for cy in range(Wy)]
                 wx = [jnp.maximum(0.0, 1.0 - jnp.abs(rxv - cx))
-                      for cx in range(4)]
+                      for cx in range(Wx)]
                 # tent-product planes shared by the 4 channels (hoisting
-                # saves 3x16 plane muls per subpixel; identical algebra)
-                wyx = [wy[cy] * wx[cx] for cy in range(4)
-                       for cx in range(4)]
+                # saves 3x Wy*Wx plane muls per subpixel; same algebra)
+                wyx = [wy[cy] * wx[cx] for cy in range(Wy)
+                       for cx in range(Wx)]
                 ok = ok_ref[s]
                 rgba = []
                 for c in range(4):
                     acc = jnp.zeros((BH, Wh), jnp.float32)
-                    for cy in range(4):
-                        for cx in range(4):
-                            acc = acc + wyx[cy * 4 + cx] * qgf[
-                                _chan(cy, cx, c)]
+                    for cy in range(Wy):
+                        for cx in range(Wx):
+                            acc = acc + wyx[cy * Wx + cx] * qgf[
+                                _chan(cy, cx, c, (Wy, Wx))]
                     # affine int8 table dequant: the tent weights sum to
                     # exactly 1 over the window, so the zero point is a
                     # constant post-accumulation add (see _TABLE_INT8)
@@ -312,14 +328,18 @@ def _make_combine_kernel(BH: int, Wh: int, bg: float,
 def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
                   mesh_planes=None, B=2,
                   exact: Optional[bool] = None, qscale: float = 1.0,
-                  qshift: float = 0.0, out_dtype=jnp.float32):
-    """(64, Hh, Wh) gathered window planes + per-subpixel positions ->
-    (By*Hh, 4*Bx*Wh) f32 interleaved screen rows (reshape to (H, W, 4)).
-    mesh_planes: optional (4*By*Bx, Hh, Wh) subpixel-split mesh buffers
-    [s*4 + (r, g, b, hit)] for per-pixel background compositing."""
+                  qshift: float = 0.0, out_dtype=jnp.float32,
+                  win: Tuple[int, int] = (4, 4)):
+    """(4*Wy*Wx, Hh, Wh) gathered window planes + per-subpixel positions
+    -> (By*Hh, 4*Bx*Wh) f32 interleaved screen rows (reshape to
+    (H, W, 4)). mesh_planes: optional (4*By*Bx, Hh, Wh) subpixel-split
+    mesh buffers [s*4 + (r, g, b, hit)] for per-pixel background
+    compositing."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     By, Bx = _block2d(B)
+    Wy, Wx = _win2d(win)
+    C = 4 * Wy * Wx
     # Mosaic block rule: second-minor block dim must be a multiple of 8
     # or the full dimension; keep M near 128 for the emit matmuls
     cands = [b for b in range(8, min(_BH_COMBINE, Hh) + 1, 8)
@@ -332,12 +352,12 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
     kern = _make_combine_kernel(BH, Wh, bg,
                                 has_mesh=mesh_planes is not None, B=(By, Bx),
                                 exact=exact, qscale=qscale, qshift=qshift,
-                                out_dtype=out_dtype)
+                                out_dtype=out_dtype, win=(Wy, Wx))
     # Mosaic cannot cast f32->uint8 in-kernel: the kernel emits rounded
     # f32 display values; the uint8 convert happens here in XLA.
     kdtype = jnp.float32 if out_dtype == jnp.uint8 else out_dtype
     blk = lambda n: pl.BlockSpec((n, BH, Wh), lambda i: (0, i, 0))
-    in_specs = [blk(64), blk(By * Bx), blk(By * Bx), blk(By * Bx),
+    in_specs = [blk(C), blk(By * Bx), blk(By * Bx), blk(By * Bx),
                 pl.BlockSpec((4 * Bx, Wh, W4), lambda i: (0, 0, 0))]
     args = [qgp, ry, rx, okm, E]
     if mesh_planes is not None:
@@ -358,35 +378,26 @@ def _combine_emit(qgp, ry, rx, okm, Hh: int, Wh: int, bg: float,
     return out
 
 
-def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
+def _pixel_slopes(R, fx, fy, width: int, height: int, gi: int,
                   perm: Tuple[int, int, int], u0, du, v0, dv, scale,
-                  ndc=None, origin=None, B=2):
-    """Per-subpixel slope-grid coordinates + the shared 4x4 window corner
-    for ByxBx-screen-pixel superquad blocks.
-
-    Returns (gys, gxs, okm, Y0, X0, fits): (By*Bx, Hh, Wh) clipped
-    subpixel positions / ok masks, (Hh, Wh) int32 window corners, and the
-    whole-frame bulk-misfit predicate (see warp_to_screen_sq)."""
+                  ndc=None, origin=None):
+    """Full-resolution (H, W) slope-grid coordinates of every screen
+    pixel — computed ONCE per frame; every superquad block size's
+    subpixel geometry and fit predicate are strided views/reductions of
+    these two planes (the r4 code recomputed them per cascade level,
+    eagerly, ~0.05 ms/frame/level of wasted XLA work at 800^2)."""
     from volrend_tpu.ops.slab_render import _slopes_from_dirs
-    By, Bx = _block2d(B)
-    Hh, Wh = height // By, width // Bx
-
     if ndc is None:
         # world-space pinhole: the pixel->slope map is a homography, so
         # the three permuted tree-dir components are LINEAR forms of the
-        # subpixel coordinates — evaluate them as fused broadcasts over a
-        # (By*Bx, Hh, Wh) leading-subpixel layout (one XLA fusion, no
-        # per-subpixel python loop / (...,3) stacks / einsum
-        # materializations: those cost ~0.1 ms/frame of copies at 800^2,
-        # profiled tools/perf_r8 r4)
+        # pixel coordinates — evaluate them as fused broadcasts (one XLA
+        # fusion, no (...,3) stacks / einsum materializations: those cost
+        # ~0.1 ms/frame of copies at 800^2, profiled tools/perf_r8 r4)
         sc = jnp.broadcast_to(jnp.asarray(scale, _F32), (3,))
-        po, qo = np.mgrid[0:By, 0:Bx].reshape(2, -1).astype(np.float32)
-        xs = ((jnp.arange(Wh, dtype=_F32)[None, :] * Bx
-               + jnp.asarray(qo)[:, None] - 0.5 * width)
-              / fx)[:, None, :]                     # (By*Bx, 1, Wh)
-        ys = (-(jnp.arange(Hh, dtype=_F32)[None, :] * By
-                + jnp.asarray(po)[:, None] - 0.5 * height)
-              / fy)[:, :, None]                     # (By*Bx, Hh, 1)
+        xs = ((jnp.arange(width, dtype=_F32) - 0.5 * width)
+              / fx)[None, :]                        # (1, W)
+        ys = (-(jnp.arange(height, dtype=_F32) - 0.5 * height)
+              / fy)[:, None]                        # (H, 1)
 
         def lin(k):
             # d_tree[perm[k]] = scale_k * (xs*R[k,0] + ys*R[k,1] - R[k,2])
@@ -396,49 +407,106 @@ def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
         den, nu, nv = lin(0), lin(1), lin(2)
         # same safe-divide guard as _slopes_from_dirs
         inv = 1.0 / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-        gy = (nu * inv - u0) / du                   # (B^2, Hh, Wh)
+        gy = (nu * inv - u0) / du                   # (H, W)
         gx = (nv * inv - v0) / dv
     else:
         # NDC warp of dirs is origin-dependent — keep the general path
-        def sub_slopes(p: int, q: int):
-            xs = (jnp.arange(Wh, dtype=_F32) * Bx + q - 0.5 * width) / fx
-            ys = -(jnp.arange(Hh, dtype=_F32) * By + p - 0.5 * height) / fy
-            d_cam = jnp.stack([
-                jnp.broadcast_to(xs[None, :], (Hh, Wh)),
-                jnp.broadcast_to(ys[:, None], (Hh, Wh)),
-                -jnp.ones((Hh, Wh), _F32)], -1)
-            d_world = jnp.einsum("hwc,kc->hwk", d_cam, R)
-            from volrend_tpu.ops.render_jax import world2ndc
-            ndir, _ = world2ndc(
-                ndc, d_world, jnp.broadcast_to(origin, d_world.shape))
-            d_tree = ndir * scale
-            us, vs = _slopes_from_dirs(d_tree, perm)
-            return (us - u0) / du, (vs - v0) / dv
+        xs = (jnp.arange(width, dtype=_F32) - 0.5 * width) / fx
+        ys = -(jnp.arange(height, dtype=_F32) - 0.5 * height) / fy
+        d_cam = jnp.stack([
+            jnp.broadcast_to(xs[None, :], (height, width)),
+            jnp.broadcast_to(ys[:, None], (height, width)),
+            -jnp.ones((height, width), _F32)], -1)
+        d_world = jnp.einsum("hwc,kc->hwk", d_cam, R)
+        from volrend_tpu.ops.render_jax import world2ndc
+        ndir, _ = world2ndc(
+            ndc, d_world, jnp.broadcast_to(origin, d_world.shape))
+        d_tree = ndir * scale
+        us, vs = _slopes_from_dirs(d_tree, perm)
+        gy = (us - u0) / du
+        gx = (vs - v0) / dv
+    return gy, gx
 
-        subs = [sub_slopes(p, q) for p in range(By) for q in range(Bx)]
-        gy = jnp.stack([s[0] for s in subs])        # (By*Bx, Hh, Wh)
-        gx = jnp.stack([s[1] for s in subs])
 
+def _block_extents(gyf, gxf, gi: int, B):
+    """Per-block masked tap extents from the full-res slope planes.
+
+    Returns (ymin, ymax, xmin, xmax, any_in): (Hh, Wh) reductions over
+    each block's IN-GRID subpixels (at the image border a clipped
+    off-grid subpixel must not drag the shared window away from its
+    in-grid block-mates)."""
+    By, Bx = _block2d(B)
+    H, W = gyf.shape
+    Hh, Wh = H // By, W // Bx
+    gyb = gyf.reshape(Hh, By, Wh, Bx)
+    gxb = gxf.reshape(Hh, By, Wh, Bx)
+    ok = ((gyb >= 0) & (gyb <= gi - 1) & (gxb >= 0) & (gxb <= gi - 1))
+    gybc = jnp.clip(gyb, 0.0, gi - 1 - 1e-6)
+    gxbc = jnp.clip(gxb, 0.0, gi - 1 - 1e-6)
+    big = _F32(1e9)
+    any_in = jnp.any(ok, (1, 3))
+    ymin = jnp.where(any_in,
+                     jnp.min(jnp.where(ok, gybc, big), (1, 3)), 0.0)
+    ymax = jnp.where(any_in,
+                     jnp.max(jnp.where(ok, gybc, -big), (1, 3)), 0.0)
+    xmin = jnp.where(any_in,
+                     jnp.min(jnp.where(ok, gxbc, big), (1, 3)), 0.0)
+    xmax = jnp.where(any_in,
+                     jnp.max(jnp.where(ok, gxbc, -big), (1, 3)), 0.0)
+    return ymin, ymax, xmin, xmax, any_in
+
+
+def _level_fits(gyf, gxf, gi: int, B, win=(4, 4)):
+    """Whole-frame bulk-misfit predicate for one (block, window) level
+    (cheap eager reductions; the big per-subpixel arrays are only built
+    inside the taken cond branch — _level_geometry)."""
+    Wy, Wx = _win2d(win)
+    ymin, ymax, xmin, xmax, _ = _block_extents(gyf, gxf, gi, B)
+    misfit = ((ymax >= jnp.floor(ymin) + (Wy - 1.0))
+              | (xmax >= jnp.floor(xmin) + (Wx - 1.0)))
+    return jnp.mean(misfit.astype(_F32)) < 1e-3
+
+
+def _level_geometry(gyf, gxf, gi: int, B, win=(4, 4)):
+    """Per-subpixel positions/masks + shared window corners for one
+    (block, window) level, as strided views of the full-res slope planes.
+
+    Returns (gys, gxs, okm, Y0, X0): (By*Bx, Hh, Wh) clipped subpixel
+    positions / ok masks and (Hh, Wh) int32 window corners."""
+    By, Bx = _block2d(B)
+    Wy, Wx = _win2d(win)
+    H, W = gyf.shape
+    Hh, Wh = H // By, W // Bx
+    # subpixel-major views: s = p*Bx + q
+    gy = (gyf.reshape(Hh, By, Wh, Bx).transpose(1, 3, 0, 2)
+          .reshape(By * Bx, Hh, Wh))
+    gx = (gxf.reshape(Hh, By, Wh, Bx).transpose(1, 3, 0, 2)
+          .reshape(By * Bx, Hh, Wh))
     ok = (gy >= 0) & (gy <= gi - 1) & (gx >= 0) & (gx <= gi - 1)
     gys = jnp.clip(gy, 0.0, gi - 1 - 1e-6)
     gxs = jnp.clip(gx, 0.0, gi - 1 - 1e-6)
     okm = ok.astype(_F32)
-    # window corner from the OK subpixels only: at the image border a
-    # clipped off-grid subpixel would otherwise drag the shared window
-    # away from its in-grid quad-mates (their taps fall off the window)
-    big = _F32(1e9)
-    inb = okm > 0.5
-    any_in = jnp.any(inb, 0)
-    ymin = jnp.where(any_in, jnp.min(jnp.where(inb, gys, big), 0), 0.0)
-    xmin = jnp.where(any_in, jnp.min(jnp.where(inb, gxs, big), 0), 0.0)
-    Y0 = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, gi - 4)
-    X0 = jnp.clip(jnp.floor(xmin).astype(jnp.int32), 0, gi - 4)
-    # bulk-misfit gate (see warp_to_screen_sq docstring)
-    ymax = jnp.where(any_in, jnp.max(jnp.where(inb, gys, -big), 0), 0.0)
-    xmax = jnp.where(any_in, jnp.max(jnp.where(inb, gxs, -big), 0), 0.0)
-    misfit = ((ymax >= jnp.floor(ymin) + 3.0)
-              | (xmax >= jnp.floor(xmin) + 3.0))
-    fits = jnp.mean(misfit.astype(_F32)) < 1e-3
+    ymin, _, xmin, _, _ = _block_extents(gyf, gxf, gi, B)
+    Y0 = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, gi - Wy)
+    X0 = jnp.clip(jnp.floor(xmin).astype(jnp.int32), 0, gi - Wx)
+    return gys, gxs, okm, Y0, X0
+
+
+def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
+                  perm: Tuple[int, int, int], u0, du, v0, dv, scale,
+                  ndc=None, origin=None, B=2, win=(4, 4)):
+    """Per-subpixel slope-grid coordinates + the shared WyxWx window
+    corner for ByxBx-screen-pixel superquad blocks (one-shot wrapper over
+    _pixel_slopes/_level_geometry/_level_fits — the display cascade calls
+    the pieces so the geometry is lazy per cond branch).
+
+    Returns (gys, gxs, okm, Y0, X0, fits): (By*Bx, Hh, Wh) clipped
+    subpixel positions / ok masks, (Hh, Wh) int32 window corners, and the
+    whole-frame bulk-misfit predicate (see warp_to_screen_sq)."""
+    gyf, gxf = _pixel_slopes(R, fx, fy, width, height, gi, perm,
+                             u0, du, v0, dv, scale, ndc=ndc, origin=origin)
+    gys, gxs, okm, Y0, X0 = _level_geometry(gyf, gxf, gi, B, win)
+    fits = _level_fits(gyf, gxf, gi, B, win)
     return gys, gxs, okm, Y0, X0, fits
 
 
@@ -460,25 +528,50 @@ def to_display_dtype(x, out_dtype):
     return x.astype(out_dtype)
 
 
+#: production cascade: ((By, Bx), (Wy, Wx)) levels, tried biggest block
+#: first with per-pose misfit gates falling through to the next level and
+#: finally the reference warp. Candidate upgrade (pending on-chip
+#: preflight per the kernel-knob policy): append ((4, 4), (5, 4)) — the
+#: 5-row window buys the y margin the parked square-window 4x4 lacked
+#: (it fit only 4/16 orbit poses) and halves the gather rows again vs
+#: (2, 4), while x stays at the 4-px footprint ceiling (CLAUDE.md r4:
+#: (2, 8) misfits all orbit poses). Module constant so bench/preflight
+#: can pin levels; changing it is a kernel-knob change (preflight on
+#: chip first).
+_CASCADE: Tuple = (((2, 2), (4, 4)), ((2, 4), (4, 4)))
+
+
+def _norm_cascade(block) -> Tuple:
+    """Normalize a ``block`` argument to ((By,Bx),(Wy,Wx)) level tuples.
+    None = the production _CASCADE; a bare int/(By,Bx) = that block with
+    the classic 4x4 window (plus the (2,2)x(4,4) safety level)."""
+    if block is None:
+        return _CASCADE
+    if (isinstance(block, tuple) and block
+            and isinstance(block[0], tuple)
+            and isinstance(block[0][0], tuple)):
+        return block                    # already ((B),(W)) levels
+    return (((2, 2), (4, 4)), (_block2d(block), (4, 4)))
+
+
 def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                       width: int, height: int, gi: int,
                       perm: Tuple[int, int, int],
                       u0, du, v0, dv, scale,
                       ndc: Optional[tuple] = None, origin=None,
-                      bg_pix=None, block=(2, 4), out_dtype=None,
+                      bg_pix=None, block=None, out_dtype=None,
                       planar: bool = False):
     """Drop-in twin of slab_render._warp_to_screen (display path): warp the
     (gi, gi, 4) intermediate image to (H, W, 4) + background composite.
 
-    block: largest superquad block (By, Bx) (int = square) to try. Each
-    block size has a per-pose misfit gate (the block's bilinear footprint
-    must fit the 4x4 window); poses fall through block -> 2x2 -> the
-    reference warp via nested lax.cond. The (2, 4) production default
-    halves the gather rows vs 2x2 by widening only along screen x, where
-    a 4-pixel footprint (~1.3 cells at gi=256/800^2 + bilinear) still
-    sits far inside the window — so it fits the poses that broke the
-    parked square 4x4 (which needed the margin in BOTH axes). block=4
-    quarters the rows but fits only near-axis poses.
+    block: cascade spec (see _norm_cascade; None = the production
+    _CASCADE). Each ((By, Bx), (Wy, Wx)) level has a per-pose misfit gate
+    (the block's bilinear footprint must fit its gather window); poses
+    fall through bigger blocks -> smaller -> the reference warp via
+    nested lax.cond. Only the whole-frame fit predicates are computed
+    eagerly (cheap reductions of ONE full-res slope pass); each level's
+    per-subpixel geometry is built inside its own cond branch, so the
+    untaken levels cost nothing at runtime.
 
     planar=True: ``inter`` is channel-planar (4, gi, gi) — the march
     kernel's native emit layout. The fast path feeds it straight to the
@@ -491,9 +584,11 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
             [jnp.asarray(mesh_rgb, _F32),
              hit.astype(_F32)[..., None]], -1)       # (H, W, 4)
 
-    def make_fast(B, gys, gxs, okm, Y0, X0):
+    def make_fast(B, win, gyf, gxf):
         By, Bx = _block2d(B)
+        Wy, Wx = _win2d(win)
         Hh, Wh = height // By, width // Bx
+        W3 = gi - Wx + 1
         mesh_planes = None
         if mrgba is not None:
             mesh_planes = jnp.stack(
@@ -502,9 +597,13 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                 0)
 
         def fast(it_in):
+            # per-subpixel geometry built HERE, inside the taken branch
+            gys, gxs, okm, Y0, X0 = _level_geometry(
+                gyf, gxf, gi, B, (Wy, Wx))
             tdt = jnp.int8 if _TABLE_INT8 else jnp.bfloat16
-            tbl = _build_table(it_in, gi, dtype=tdt, planar=planar)
-            qg = tbl[Y0 * (gi - 3) + X0]            # (Hh, Wh, 64)
+            tbl = _build_table(it_in, gi, dtype=tdt, planar=planar,
+                               win=(Wy, Wx))
+            qg = tbl[Y0 * W3 + X0]                  # (Hh, Wh, C)
             qgp = jnp.transpose(qg, (2, 0, 1))      # planar for the kernel
             ry = gys - Y0.astype(_F32)[None]
             rx = gxs - X0.astype(_F32)[None]
@@ -515,7 +614,8 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                                         else 1.0),
                                 qshift=(128.0 / 255.0 if tdt == jnp.int8
                                         else 0.0),
-                                out_dtype=(out_dtype or jnp.float32))
+                                out_dtype=(out_dtype or jnp.float32),
+                                win=(Wy, Wx))
             return out.reshape(height, width, 4)
 
         return fast
@@ -530,16 +630,17 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
             precise=False, ndc=ndc, origin=origin,
             bg_pix=bg_pix), out_dtype)
 
+    levels = [(B, W) for (B, W) in _norm_cascade(block)
+              if usable(width, height, gi, block=B, win=W)]
+    levels.sort(key=lambda bw: bw[0][0] * bw[0][1])
+    if not levels:
+        return slow(inter)
+    gyf, gxf = _pixel_slopes(R, fx, fy, width, height, gi, perm,
+                             u0, du, v0, dv, scale, ndc=ndc, origin=origin)
     fn = slow
-    cascade = sorted({_block2d(b) for b in ((2, 2), block)
-                      if usable(width, height, gi, block=b)},
-                     key=lambda b: b[0] * b[1])
-    for B in cascade:
-        gys, gxs, okm, Y0, X0, fits = _sub_geometry(
-            R, fx, fy, width, height, gi, perm, u0, du, v0, dv, scale,
-            ndc=ndc, origin=origin, B=B)
-        fn = partial(jax.lax.cond, fits,
-                     make_fast(B, gys, gxs, okm, Y0, X0), fn)
+    for B, win in levels:
+        fits = _level_fits(gyf, gxf, gi, B, win)
+        fn = partial(jax.lax.cond, fits, make_fast(B, win, gyf, gxf), fn)
     return fn(inter)
 
 
