@@ -62,6 +62,10 @@ GI = 256           # grid-matched display march setting (CLAUDE.md r3 facts)
 FLOOR_ORBIT = 54.0
 FLOOR_STEEP = 52.0
 FLOOR_SPARSE = 47.5
+# NDC/LLFF pose class (volrend.cu:34-54 warp semantics on the slab path;
+# VERDICT r4 item 6): floor set from the r5 on-chip measurement minus
+# ~2 dB headroom, like the others.
+FLOOR_NDC = 38.0
 
 
 def get_tree():
@@ -101,6 +105,44 @@ def get_sparse_tree():
     except Exception:
         pass
     return tree
+
+
+CACHE_NDC = os.path.join(_DIR, ".bench_ndc_cache.npz")
+DEPTH_NDC = 6      # 128^3: keeps the third scene's bake/upload modest
+
+
+def get_ndc_tree():
+    from volrend_tpu.models.n3tree import N3Tree, NdcConfig
+
+    if os.path.isfile(CACHE_NDC):
+        try:
+            t = N3Tree(CACHE_NDC)
+            if t.use_ndc:
+                return t
+            os.unlink(CACHE_NDC)
+        except Exception:
+            os.unlink(CACHE_NDC)
+    from volrend_tpu.models.synthetic import make_test_tree
+    tree = make_test_tree(max_depth=DEPTH_NDC, basis_dim=BASIS_DIM, seed=4,
+                          n_blobs=6, sigma_scale=60.0)
+    tree.use_ndc = True
+    tree.ndc = NdcConfig(width=float(W), height=float(H), focal=1111.11)
+    try:
+        tree.save_npz(CACHE_NDC, compressed=False)
+    except Exception:
+        pass
+    return tree
+
+
+def ndc_pose():
+    """The default LLFF forward-facing viewing pose (the viewer's
+    ndc_camera geometry: camera just off the z=0 plane, looking down -z
+    in the NDC convention)."""
+    from volrend_tpu.ops.camera import Camera
+    return Camera.from_vectors(center=(0.0, 0.0, 0.2),
+                               v_back=(0.05, 0.02, 1.0),
+                               v_world_up=(0.0, 1.0, 0.0),
+                               width=W, height=H, fx=1111.11)
 
 
 def orbit_poses(n, radius=2.8, elev=0.45):
@@ -398,6 +440,36 @@ def main():
     except Exception as e:
         errors.append(f"sparse: {type(e).__name__}: {e}")
         _log(f"sparse scene FAILED: {e}")
+        traceback.print_exc(file=sys.stderr)
+
+    # ---- NDC/LLFF pose gate (fail-soft; VERDICT r4 item 6) ----------------
+    # The forward-facing NDC warp class (volrend.cu:34-54 /
+    # n3tree.cpp:131-148) on the slab fast path, gated with the SAME
+    # display dtype as the headline so a knob flip can't silently burn
+    # NDC quality without the round record noticing.
+    try:
+        _log("ndc scene: loading tree")
+        ntree = get_ndc_tree()
+        ndev, ngrid = setup_scene(ntree, "ndc")
+        ncam = ndc_pose()
+        from volrend_tpu.ops import slab_render as _sr
+        nperm, nflip, nslope = _sr.choose_axis(
+            ngrid, ncam.transform, ncam.fx, ncam.fy, W, H)
+        assert np.isfinite(nslope), "NDC pose not slab-renderable"
+        _log("quality gate: NDC forward-facing pose")
+        nframe = _as_float_frame(_sr.render_frame(
+            ngrid, jnp.asarray(ncam.transform), ncam.fx, ncam.fy,
+            nperm, nflip, W, H, opt, gi=GI, out_dtype=out_dtype))
+        nsel, nexact = _exact_rays(ndev, ncam, opt, stride=8)
+        ngot = nframe.reshape(-1, 4)[nsel]
+        p_ndc = _psnr(ngot[:, :3], nexact[:, :3])
+        _log(f"psnr_ndc {p_ndc:.2f} dB (floor {FLOOR_NDC})")
+        result["psnr_ndc_db"] = round(p_ndc, 2)
+        if p_ndc < FLOOR_NDC:
+            errors.append(f"ndc gate: {p_ndc:.2f} dB < {FLOOR_NDC}")
+    except Exception as e:
+        errors.append(f"ndc: {type(e).__name__}: {e}")
+        _log(f"ndc gate FAILED: {e}")
         traceback.print_exc(file=sys.stderr)
 
     # ANY recorded error degrades the run — a gate-section crash (e.g. a

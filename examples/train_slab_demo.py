@@ -39,6 +39,9 @@ def main():
                     help="tree depth (6 -> G=128 fits one 16 GB chip)")
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--poses", type=int, default=4)
+    ap.add_argument("--bank", action="store_true",
+                    help="also write docs/TRAIN_DEMO.json (the banked "
+                         "convergence artifact, VERDICT r4 item 5)")
     args = ap.parse_args()
 
     import jax
@@ -141,8 +144,16 @@ def main():
         "loss_first": round(losses[0], 6),
         "loss_last": round(losses[-1], 6),
     }
+    metrics["grid"] = int(tr.grid.G)
+    metrics["platform"] = jax.default_backend()
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
+    if args.bank:
+        bank = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "TRAIN_DEMO.json")
+        with open(bank, "w") as f:
+            json.dump(metrics, f, indent=1)
+        log(f"banked {bank}")
     print(json.dumps(metrics))
     assert p_after > p_before + 5.0, "training failed to recover the scene"
 

@@ -949,3 +949,43 @@ def test_precise_sq_routing_in_warp_to_screen(monkeypatch):
     scale = max(float(np.abs(np.asarray(ref_grad)).max()), 1e-12)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
                                atol=5e-5 * scale, rtol=5e-4)
+
+
+def test_frame_trainer_lean_mode_descends(scene):
+    """FrameTrainer(lean=True) — bf16 Adam moments + bf16 backward payload
+    cotangent (the G=256 single-chip memory mode, VERDICT r4 item 4) —
+    must descend like the f32 trainer and track its loss trajectory
+    closely (the rounding is state/gradient noise, not a different
+    optimizer)."""
+    import dataclasses
+    from volrend_tpu.ops import slab_grad
+    from volrend_tpu.train import FrameTrainer
+    dev, grid, bmap, data32, cam, perm, flip = frame_setup(scene)
+    opt = RenderOptions(max_steps=512, renormalize=False)
+    target = np.asarray(render_jax.render_image(dev, cam, opt))
+
+    rng = np.random.default_rng(1)
+    noisy = dataclasses.replace(
+        dev, data=jnp.asarray(np.asarray(dev.data, np.float32)
+                              + rng.normal(0, 0.3, dev.data.shape)
+                              .astype(np.float32), jnp.float16))
+    prev = slab_grad._GRAD_BF16
+    try:
+        tr_f32 = FrameTrainer(noisy, opt, lr=5e-2, gi=96)
+        ref_losses = [tr_f32.step_frame(cam, target) for _ in range(12)]
+
+        tr = FrameTrainer(noisy, opt, lr=5e-2, gi=96, lean=True)
+        assert slab_grad._GRAD_BF16
+        # moments really are bf16
+        m, v, t = tr.opt_state
+        assert all(x.dtype == jnp.bfloat16
+                   for x in jax.tree_util.tree_leaves(m))
+        assert all(x.dtype == jnp.bfloat16
+                   for x in jax.tree_util.tree_leaves(v))
+        losses = [tr.step_frame(cam, target) for _ in range(12)]
+    finally:
+        slab_grad._GRAD_BF16 = prev
+        jax.clear_caches()
+    assert losses[-1] < 0.5 * losses[0], losses
+    # same trajectory up to bf16 state/gradient rounding
+    np.testing.assert_allclose(losses, ref_losses, rtol=0.2)

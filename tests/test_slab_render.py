@@ -1236,3 +1236,67 @@ def test_superquad_warp_block44_win54(scene, monkeypatch):
     finally:
         monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
         jax.clear_caches()
+
+
+def test_inplane_crop_march_matches_uncropped(monkeypatch):
+    """The in-plane occupancy crop (march_slabs crop=) must reproduce the
+    uncropped fast-path render on a solid scene with empty borders — the
+    cropped-away voxels are sub-threshold, so the march is exact, while
+    compute/stream scale with the occupied sub-box (the slab-dataflow
+    answer to rt_core.cuh:36-49 empty-space skipping)."""
+    import jax
+    from volrend_tpu.models.synthetic import make_solid_tree
+    from volrend_tpu.ops import pallas_slab
+    tree = make_solid_tree(max_depth=4, basis_dim=4, seed=3)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    W = H = 64
+    gi = 32
+    cam = make_cam((1.0, 0.3, 0.35), width=W, height=H)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    assert np.isfinite(slope)
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    monkeypatch.setattr(slab_render, "_CROP_MULT_Y", 8)
+    monkeypatch.setattr(slab_render, "_CROP_MULT_X", 8)
+    jax.clear_caches()
+    try:
+        monkeypatch.setattr(slab_render, "_INPLANE_CROP", False)
+        assert slab_render.inplane_crop(
+            grid, perm, float(opt.sigma_thresh)) is None  # switch off
+        ref = np.asarray(slab_render.render_frame(
+            grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+            W, H, opt, gi=gi))
+
+        monkeypatch.setattr(slab_render, "_INPLANE_CROP", True)
+        crop = slab_render.inplane_crop(grid, perm, float(opt.sigma_thresh))
+        assert crop is not None, "solid scene must be croppable"
+        y0, Gy, x0, Gx = crop
+        G = grid.G
+        assert Gy < G or Gx < G
+        # every cropped-away slab row/col must be sub-threshold
+        occ_y = np.asarray(grid.occ_max[perm[1]])
+        occ_x = np.asarray(grid.occ_max[perm[2]])
+        assert np.all(occ_y[:y0] <= opt.sigma_thresh)
+        assert np.all(occ_y[y0 + Gy:] <= opt.sigma_thresh)
+        assert np.all(occ_x[:x0] <= opt.sigma_thresh)
+        assert np.all(occ_x[x0 + Gx:] <= opt.sigma_thresh)
+        jax.clear_caches()
+        got = np.asarray(slab_render.render_frame(
+            grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+            W, H, opt, gi=gi))
+        # the payload cache path must agree too (prepare_payload slices)
+        pay = slab_render.prepare_payload(grid, perm, opt)
+        assert tuple(pay.shape[-2:]) == (Gy, Gx)
+        got_pay = np.asarray(slab_render.render_frame(
+            grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+            W, H, opt, gi=gi, payload=pay))
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    # exact: dropped terms are zeros; accumulation order of the surviving
+    # terms is preserved inside the warp matmul contractions
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(got_pay, ref, atol=1e-6, rtol=1e-6)

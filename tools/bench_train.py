@@ -11,6 +11,12 @@ each step ending in the loss host transfer (the only real sync on the
 axon tunnel); steady-state median over the timed steps. Writes
 docs/BENCH_TRAIN.json and prints one JSON line.
 
+Round 5 adds the bench-scale attempt (VERDICT r4 item 4):
+``--depth 7 --lean --key g256_lean`` tries a G=256 step on one chip with
+the lean memory mode (bf16 Adam moments + bf16 backward payload
+cotangent, FrameTrainer(lean=True)); an OOM is recorded as a parked
+entry with the failure text instead of crashing the artifact.
+
 Usage: python tools/bench_train.py [--steps 30] [--size 800] [--cpu-smoke]
 """
 
@@ -45,6 +51,12 @@ def main():
     ap.add_argument("--out", default=None,
                     help="write the JSON artifact here "
                          "(default docs/BENCH_TRAIN.json on TPU)")
+    ap.add_argument("--lean", action="store_true",
+                    help="FrameTrainer(lean=True): bf16 Adam moments + "
+                         "bf16 backward payload cotangent")
+    ap.add_argument("--key", default=None,
+                    help="merge the record under this key in the artifact "
+                         "instead of overwriting it (e.g. g256_lean)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +76,18 @@ def main():
     tree = make_solid_tree(max_depth=args.depth, basis_dim=9, seed=7)
     dev = tree.to_device(lut_depth=None)
     opt = RenderOptions(max_steps=1024)
-    tr = FrameTrainer(dev, opt=opt, lr=5e-2, gi=args.gi)
+    try:
+        tr = FrameTrainer(dev, opt=opt, lr=5e-2, gi=args.gi,
+                          lean=args.lean)
+    except Exception as e:
+        _write(args, {
+            "metric": "train_ms_per_step", "value": None, "unit": "ms",
+            "status": "parked",
+            "error": f"{type(e).__name__}: {e}"[:500],
+            "grid": 2 ** (args.depth + 1), "lean": args.lean,
+            "resolution": [args.size, args.size], "gi": args.gi,
+        })
+        return
 
     cams, targets = [], []
     for i in range(args.poses):
@@ -120,15 +143,32 @@ def main():
         "rays_per_s": round(W * H / (ms / 1e3) / 1e6, 2),
         "platform": jax.default_backend(),
     }
+    if args.lean:
+        rec["lean"] = True
+    _write(args, rec)
+
+
+def _write(args, rec):
+    import json as _json
     out = args.out or (None if args.cpu_smoke
                        else os.path.join(os.path.dirname(
                            os.path.dirname(os.path.abspath(__file__))),
                            "docs", "BENCH_TRAIN.json"))
     if out:
+        doc = rec
+        if args.key:
+            doc = {}
+            if os.path.isfile(out):
+                try:
+                    with open(out) as f:
+                        doc = _json.load(f)
+                except Exception:
+                    doc = {}
+            doc[args.key] = rec
         with open(out, "w") as f:
-            json.dump(rec, f, indent=1)
+            _json.dump(doc, f, indent=1)
         _log(f"wrote {out}")
-    print(json.dumps(rec))
+    print(_json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -124,6 +124,46 @@ def main():
     check("warp_u8_bf16_exact",
           lambda: render(out_dtype=jnp.uint8, table_int8=False, exact=True))
     check("warp_u8_mesh", lambda: render(out_dtype=jnp.uint8, mesh=True))
+    # -- r5 cascade candidate: (4,4)-block x (5,5)-window superquad ---------
+    def render_cascade(out_dtype=None):
+        old = display_warp._CASCADE
+        display_warp._CASCADE = (((2, 2), (4, 4)), ((4, 4), (5, 5)))
+        try:
+            jax.clear_caches()
+            return slab_render.render_frame(
+                grid, tr, cam.fx, cam.fy, perm, flip, W, H, opt,
+                gi=GI, out_dtype=out_dtype)
+        finally:
+            display_warp._CASCADE = old
+            jax.clear_caches()
+
+    check("warp_sq44w55_f32", render_cascade)
+    check("warp_sq44w55_u8", lambda: render_cascade(jnp.uint8))
+
+    # -- r5 in-plane occupancy crop (sparse-scene march) --------------------
+    def render_cropped():
+        from volrend_tpu.models.synthetic import make_solid_tree
+        old = slab_render._INPLANE_CROP
+        slab_render._INPLANE_CROP = True
+        try:
+            jax.clear_caches()
+            stree = make_solid_tree(max_depth=DEPTH, basis_dim=16, seed=3)
+            sdev = stree.to_device(lut_depth=None)
+            sgrid = dense_grid.bake_dense(sdev, dtype="int8")
+            sperm, sflip, sl = slab_render.choose_axis(
+                sgrid, cam.transform, cam.fx, cam.fy, W, H)
+            assert np.isfinite(sl)
+            crop = slab_render.inplane_crop(sgrid, sperm,
+                                            float(opt.sigma_thresh))
+            _log(f"  crop={crop} (G={sgrid.G})")
+            return slab_render.render_frame(
+                sgrid, tr, cam.fx, cam.fy, sperm, sflip, W, H, opt, gi=GI)
+        finally:
+            slab_render._INPLANE_CROP = old
+            jax.clear_caches()
+
+    check("march_inplane_crop", render_cropped)
+
     # -- march modes ---------------------------------------------------------
     check("march_depth", lambda: render(depth_mode=True))
 
@@ -163,6 +203,20 @@ def main():
         return jax.grad(loss_fn)(data32)
 
     check("train_fused_fwd_bwd", train_step)
+
+    # -- r5 lean-training bwd kernel (bf16 payload cotangent) ----------------
+    def train_step_bf16():
+        from volrend_tpu.ops import slab_grad
+        old = slab_grad._GRAD_BF16
+        slab_grad._GRAD_BF16 = True
+        try:
+            jax.clear_caches()
+            return train_step()
+        finally:
+            slab_grad._GRAD_BF16 = old
+            jax.clear_caches()
+
+    check("train_bwd_bf16", train_step_bf16)
 
     failed = {k: v for k, v in results.items() if v != "PASS"}
     print(json.dumps({

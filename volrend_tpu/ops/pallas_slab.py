@@ -166,12 +166,19 @@ def _sh_planes(bd: int, x, y, z):
 _NP = 31
 
 
-def _warp_half(shape, cell_on_rows: bool, r0, dr, G: int):
+def _warp_half(shape, cell_on_rows: bool, r0, dr, G: int, cell0: int = 0):
     """One axis of the warp scaffolding: cell-edge planes (edge cells
-    extended to +-inf) and the per-ray slab-span coefficient plane."""
+    extended to +-inf) and the per-ray slab-span coefficient plane.
+
+    cell0: first GLOBAL cell index of the (possibly in-plane-cropped)
+    payload along this axis. Cell indices stay global, so the +-inf
+    edge extension fires only at TRUE volume edges — a crop-boundary
+    cell keeps finite edges, and span mass falling outside the crop is
+    dropped (exact: cropped cells are sub-threshold, so the uncropped
+    kernel masks their sigma to zero anyway)."""
     big = _F32(1e9)
-    cell = lax.broadcasted_iota(
-        jnp.int32, shape, 0 if cell_on_rows else 1).astype(_F32)
+    cell = (lax.broadcasted_iota(
+        jnp.int32, shape, 0 if cell_on_rows else 1) + cell0).astype(_F32)
     ray = lax.broadcasted_iota(
         jnp.int32, shape, 1 if cell_on_rows else 0).astype(_F32)
     hi = jnp.where(cell >= G - 1.0, big, cell + 1.0)
@@ -179,7 +186,8 @@ def _warp_half(shape, cell_on_rows: bool, r0, dr, G: int):
     return hi, lo, (r0 + dr * ray) * G
 
 
-def _warp_pre(p, G: int, gi: int, transposed: bool = False):
+def _warp_pre(p, G: int, gi: int, transposed: bool = False,
+              crop: Optional[Tuple[int, int, int, int]] = None):
     """Slab-INVARIANT scaffolding of the box-integration warp matrices,
     hoisted out of the per-slab bodies (every plane here is constant across
     a window's K slabs and across all slabs of the frame; building them per
@@ -188,15 +196,19 @@ def _warp_pre(p, G: int, gi: int, transposed: bool = False):
     transposed=True builds the layout-swapped twin for the backward
     kernel's adjoint matmuls (cell index on rows of the first block,
     columns of the second) directly from iotas — no in-kernel transpose
-    relayout."""
+    relayout.
+
+    crop: (y0, Gy, x0, Gx) static in-plane occupancy crop of the payload
+    (display path; see march_slabs). None = full (0, G, 0, G)."""
+    y0, Gy, x0, Gx = crop if crop is not None else (0, G, 0, G)
     cy, cx = p[1], p[2]
     u0, du, v0, dv = p[3], p[4], p[5], p[6]
     if transposed:
-        hi_r, lo_r, ujG = _warp_half((G, gi), True, u0, du, G)
-        hi_c, lo_c, vkG = _warp_half((gi, G), False, v0, dv, G)
+        hi_r, lo_r, ujG = _warp_half((Gy, gi), True, u0, du, G, y0)
+        hi_c, lo_c, vkG = _warp_half((gi, Gx), False, v0, dv, G, x0)
     else:
-        hi_r, lo_r, ujG = _warp_half((gi, G), False, u0, du, G)
-        hi_c, lo_c, vkG = _warp_half((G, gi), True, v0, dv, G)
+        hi_r, lo_r, ujG = _warp_half((gi, Gy), False, u0, du, G, y0)
+        hi_c, lo_c, vkG = _warp_half((Gx, gi), True, v0, dv, G, x0)
     return (hi_r, lo_r, ujG, cy * G, hi_c, lo_c, vkG, cx * G)
 
 
@@ -252,7 +264,8 @@ def _window_live(T_plane, zb_ref, stop_thresh, wid, K: int, G: int,
                    & (zb_ref[0] <= zw1) & (zb_ref[1] >= zw0))
 
 
-def _shade_pre(p, G: int, bbox_full: bool):
+def _shade_pre(p, G: int, bbox_full: bool,
+               crop: Optional[Tuple[int, int, int, int]] = None):
     """Slab-invariant shade planes and the static-bbox voxel mask (None
     when the bbox is the full cube — the compares would always pass;
     `bbox_full` removes them from every slab body).
@@ -262,10 +275,15 @@ def _shade_pre(p, G: int, bbox_full: bool):
     ``dirM @ (1, ycm/s, xcm/s)`` (2 plane muls + 6 plane FMAs per slab)
     the kernel uses ``s * dw = dirM[:,0]*s + (dirM[:,1]*ycm +
     dirM[:,2]*xcm)`` — the parenthesized planes hoisted here, 1 plane FMA
-    per axis per slab, with sign(s) folded into the rnorm scalar."""
+    per axis per slab, with sign(s) folded into the rnorm scalar.
+
+    crop: static in-plane payload crop (voxel coords stay GLOBAL)."""
+    y0, Gy, x0, Gx = crop if crop is not None else (0, G, 0, G)
     cy, cx = p[1], p[2]
-    yrow = lax.broadcasted_iota(jnp.int32, (G, G), 0).astype(_F32)
-    xcol = lax.broadcasted_iota(jnp.int32, (G, G), 1).astype(_F32)
+    yrow = (lax.broadcasted_iota(jnp.int32, (Gy, Gx), 0)
+            + y0).astype(_F32)
+    xcol = (lax.broadcasted_iota(jnp.int32, (Gy, Gx), 1)
+            + x0).astype(_F32)
     yc = (yrow + 0.5) * (1.0 / G)
     xc = (xcol + 0.5) * (1.0 / G)
     if bbox_full:
@@ -331,7 +349,8 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                  gate_slabs: bool = True,
                  manual_pipe: Optional[Tuple[int, int, object]] = None,
                  bbox_full: bool = False, shade_bf16: bool = False,
-                 dir_win: bool = False):
+                 dir_win: bool = False,
+                 crop: Optional[Tuple[int, int, int, int]] = None):
     """static_seq=(base, step): the grid step i marches window base+step*i
     with occupancy masks from SMEM and a STATIC block index map — no
     scalar prefetch. None = dynamic windows via the ids array (sparse
@@ -345,6 +364,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
     (the pallas guide's double-buffering pattern)."""
     from volrend_tpu.models.data_format import BasisType
     bt = BasisType(fmt)
+    _, Gy, _, Gx = crop if crop is not None else (0, G, 0, G)
     # march order inside a K-aligned window
     dz_order = range(K - 1, -1, -1) if flip else range(K)
 
@@ -466,7 +486,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                             if basis_lo <= k <= basis_hi)
                 else:
                     bkqs = bkq_pre
-                raw = [jnp.zeros((G, G), sdt) for _ in range(3)]
+                raw = [jnp.zeros((Gy, Gx), sdt) for _ in range(3)]
                 for k, bkq in bkqs:
                     for c in range(3):
                         raw[c] = raw[c] + (
@@ -484,9 +504,9 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
             w1 = jnp.dot(stack, ohct, preferred_element_type=_F32)
             w1 = w1.astype(_BF16)
             # stage 2: row warp per channel — (gi, G) @ (G, gi)
-            sig_w = jnp.dot(ohr, w1[:G], preferred_element_type=_F32)
+            sig_w = jnp.dot(ohr, w1[:Gy], preferred_element_type=_F32)
             srgb_w = None if depth else [
-                jnp.dot(ohr, w1[(c + 1) * G:(c + 2) * G],
+                jnp.dot(ohr, w1[(c + 1) * Gy:(c + 2) * Gy],
                         preferred_element_type=_F32) for c in range(3)]
 
             # per-pixel slab thickness along the ray: per-frame constant,
@@ -532,8 +552,9 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
                 # of per slab (inside the gate so dead windows cost only
                 # the any-reduction; the pl.when occupancy gates below
                 # would block CSE across slab bodies)
-                pre_w = _warp_pre(params_ref, G, gi)
-                dirp, okb = _shade_pre(params_ref, G, bbox_full)
+                pre_w = _warp_pre(params_ref, G, gi, crop=crop)
+                dirp, okb = _shade_pre(params_ref, G, bbox_full,
+                                       crop=crop)
                 bkq_pre = None
                 if dir_win and not depth and bd > 0:
                     # window-shared shading dirs: basis planes built ONCE
@@ -595,7 +616,7 @@ def _make_kernel(G: int, gi: int, D: int, bd: int,
 
             pl.run_scoped(
                 body,
-                scratch=pltpu.VMEM((2, K, Dp_, G, G), sdtype),
+                scratch=pltpu.VMEM((2, K, Dp_, Gy, Gx), sdtype),
                 sem=pltpu.SemaphoreType.DMA((2,)))
         elif static_seq is None:
             @pl.when(wid >= 0)
@@ -614,6 +635,7 @@ def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
     ids_chunk: (2*W,) int32 interleaved (window_id, occupancy_mask) pairs;
     window_id < 0 = padding (skipped). Each grid step streams one K-slab
     block and marches its occupied slabs in order."""
+    Gy, Gx = gplanar.shape[-2:]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ids_chunk.shape[0] // 2,),
@@ -621,7 +643,7 @@ def _chunk_call(kernel, ids_chunk, params, qscale, extra, gplanar, zbounds,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, Dp, G, G),
+            pl.BlockSpec((K, Dp, Gy, Gx),
                          lambda i, ids: (jnp.maximum(ids[2 * i], 0),
                                          0, 0, 0)),
             pl.BlockSpec((4, gi, gi), lambda i, ids: (0, 0, 0)),
@@ -651,6 +673,7 @@ def _chunk_call_static(kernel, masks, params, qscale, extra, gplanar,
     Per-window occupancy bitmasks ride in SMEM (scalar reads in the kernel
     body don't constrain the pipeline the way prefetched index maps do)."""
     n_win = masks.shape[0]
+    Gy, Gx = gplanar.shape[-2:]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_win,),
@@ -659,7 +682,7 @@ def _chunk_call_static(kernel, masks, params, qscale, extra, gplanar,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, Dp, G, G),
+            pl.BlockSpec((K, Dp, Gy, Gx),
                          lambda i: (base + step * i, 0, 0, 0)),
             pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
             pl.BlockSpec((4, gi, gi), lambda i: (0, 0, 0)),
@@ -709,7 +732,8 @@ def _chunk_call_pipelined(kernel, masks, params, qscale, extra, gplanar,
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm", "slab_ids",
                                    "basis_lo", "basis_hi", "sig2", "fmt",
                                    "depth", "rot", "flip", "k_per_step",
-                                   "bbox_full", "shade_bf16", "dir_win"))
+                                   "bbox_full", "shade_bf16", "dir_win",
+                                   "crop"))
 def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 gi: int, D: int, bd: int,
                 perm: Tuple[int, int, int],
@@ -719,7 +743,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                 rot: Optional[Tuple[float, ...]] = None,
                 flip: bool = False, k_per_step: int = 4,
                 bbox_full: bool = False, shade_bf16: bool = False,
-                dir_win: bool = False, z_base=None, acc_init=None):
+                dir_win: bool = False, z_base=None, acc_init=None,
+                crop: Optional[Tuple[int, int, int, int]] = None):
     """Run the fused march; returns acc (4, gi, gi): [r, g, b, T].
 
     gplanar: (G, Dp, G, G) channel-planar permuted grid — bf16 payload
@@ -741,9 +766,23 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
         slab_ids then index the local shard). None = 0 (whole grid).
     acc_init: optional (4, gi, gi) initial [rgb, T] accumulator (resume a
         march from an upstream segment's state).
+    crop: optional static (y0, Gy, x0, Gx) in-plane occupancy crop: the
+        payload holds only rows [y0, y0+Gy) x cols [x0, x0+Gx) of each
+        slab (slab_render.inplane_crop computes it from the bake's
+        occupancy metadata). All cropped-away voxels must be
+        sub-sigma-thresh, which the occupancy bounds guarantee — then the
+        cropped march is EXACT (those voxels' sigma is masked to zero in
+        the uncropped kernel anyway), while shade/warp compute and HBM
+        streaming scale with Gy*Gx instead of G^2 — the TPU answer to the
+        reference's per-voxel empty-space skipping (rt_core.cuh:36-49)
+        in the slab dataflow. None = uncropped.
     """
     Dp = gplanar.shape[1]
     Gz = gplanar.shape[0]           # local slab count (== G unless sharded)
+    if crop is not None:
+        assert tuple(gplanar.shape[-2:]) == (crop[1], crop[3]), (
+            f"payload in-plane shape {gplanar.shape[-2:]} != crop "
+            f"{crop}")
     if slab_ids is None:
         slab_ids = tuple(range(Gz))
     if extra is None or np.prod(np.shape(extra)) == 0:
@@ -831,7 +870,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
                                 sig2, fmt, depth, rot, K, flip,
                                 static_seq=(base, step), gate_slabs=gate,
                                 manual_pipe=pipe, bbox_full=bbox_full,
-                                shade_bf16=shade_bf16, dir_win=dir_win)
+                                shade_bf16=shade_bf16, dir_win=dir_win,
+                                crop=crop)
             zvals = (sids + 0.5) / G
             mdev = jnp.asarray(mrun)
 
@@ -878,7 +918,8 @@ def march_slabs(gplanar, params, qscale, zbounds, G: int,
     kernel = _make_kernel(
         G, gi, D, bd, perm, basis_lo, basis_hi, sig2, fmt, depth, rot, K,
         flip, gate_slabs=bool(np.any(masks != (1 << K) - 1)),
-        bbox_full=bbox_full, shade_bf16=shade_bf16, dir_win=dir_win)
+        bbox_full=bbox_full, shade_bf16=shade_bf16, dir_win=dir_win,
+        crop=crop)
 
     def cond(carry):
         c, acc = carry
@@ -911,7 +952,8 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
                      perm: Tuple[int, int, int], basis_lo: int,
                      basis_hi: int, fmt: int,
                      rot: Optional[Tuple[float, ...]], K: int, flip: bool,
-                     bbox_full: bool = False, n_win: Optional[int] = None):
+                     bbox_full: bool = False, n_win: Optional[int] = None,
+                     out_dtype=jnp.float32):
     """Gradient of the slab march w.r.t. the (unquantized, planar) payload.
 
     Re-marches the slabs in FORWARD order carrying (T, A) in VMEM scratch —
@@ -1078,22 +1120,25 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
             for c in range(3):
                 g_sigma = g_sigma + g_srgb_vox[c] * rgb[c]
             g_sigma = jnp.where(ok, g_sigma, 0.0)
-            out_ref[dzi, D - 1] = g_sigma * qs_ref[D - 1]
+            out_ref[dzi, D - 1] = (g_sigma * qs_ref[D - 1]
+                                   ).astype(out_dtype)
 
             if bd < 0:
                 for c in range(3):
-                    out_ref[dzi, c] = (g_srgb_vox[c] * sigma * qs_ref[c])
+                    out_ref[dzi, c] = (g_srgb_vox[c] * sigma * qs_ref[c]
+                                       ).astype(out_dtype)
             else:
                 g_raw = [g_srgb_vox[c] * sigma * rgb[c] * (1.0 - rgb[c])
                          for c in range(3)]
-                zero = jnp.zeros((G, G), _F32)
+                zero = jnp.zeros((G, G), out_dtype)
                 for k, bk in make_planes():
                     for c in range(3):
                         if k < basis_lo or k > basis_hi:
                             out_ref[dzi, c * bd + k] = zero
                         else:
                             out_ref[dzi, c * bd + k] = (
-                                g_raw[c] * bk * qs_ref[c * bd + k])
+                                g_raw[c] * bk * qs_ref[c * bd + k]
+                            ).astype(out_dtype)
                 # any trailing payload planes beyond 3*bd+1 stay untouched
                 # only when D == Dp; the wrapper asserts D == block Dp
 
@@ -1126,7 +1171,8 @@ def _make_bwd_kernel(G: int, gi: int, D: int, bd: int,
 
 @partial(jax.jit, static_argnames=("G", "gi", "D", "bd", "perm",
                                    "basis_lo", "basis_hi", "fmt", "rot",
-                                   "flip", "k_per_step", "bbox_full"))
+                                   "flip", "k_per_step", "bbox_full",
+                                   "out_dtype"))
 def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
                     G: int, gi: int, D: int, bd: int,
                     perm: Tuple[int, int, int],
@@ -1136,7 +1182,7 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
                     flip: bool = False,
                     k_per_step: Optional[int] = None,
                     bbox_full: bool = False,
-                    z_base=None, state_init=None):
+                    z_base=None, state_init=None, out_dtype=jnp.float32):
     """Payload-cotangent of ``march_slabs`` (training fast path).
 
     gplanar: (Gz, D, G, G) channel-planar bf16 payload — the same array the
@@ -1192,7 +1238,7 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
 
     kernel = _make_bwd_kernel(G, gi, D, bd, perm, basis_lo, basis_hi,
                               fmt, rot, K, flip, bbox_full=bbox_full,
-                              n_win=nwin)
+                              n_win=nwin, out_dtype=out_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nwin,),
@@ -1211,7 +1257,7 @@ def march_slabs_bwd(gplanar, params, qscale, zbounds, gacc4, acc4,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Gz, Dp, G, G), _F32),
+        out_shape=jax.ShapeDtypeStruct((Gz, Dp, G, G), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_FORCE_INTERPRET,

@@ -537,28 +537,40 @@ def _pallas_fwd_call(cfg: SlabCfg, planar, params, zb, extra):
 
 def _march_pallas_fwd(cfg, planar, params, zb, extra):
     acc4 = _pallas_fwd_call(cfg, planar, params, zb, extra)
+    # save the payload residual in bf16: the backward kernel consumes
+    # planar.astype(bf16) anyway, so the recomputed bf16 values are
+    # IDENTICAL — this halves the largest training residual (the f32
+    # payload is 3.3 GB at G=256/SH16) at zero semantic cost
     return ((jnp.moveaxis(acc4[:3], 0, -1), acc4[3]),
-            (planar, params, zb, extra, acc4))
+            (planar.astype(jnp.bfloat16), params, zb, extra, acc4))
 
 
 def _march_pallas_bwd(cfg: SlabCfg, res, gbar):
     from volrend_tpu.ops import pallas_slab
-    planar, params, zb, extra, acc4 = res
+    planar16, params, zb, extra, acc4 = res
     g_acc, g_T = gbar
     gacc4 = jnp.concatenate([
         jnp.moveaxis(g_acc.astype(_F32), -1, 0),
         g_T.astype(_F32)[None]])
     blo, bhi, rot, bfull = _pallas_statics(cfg)
     grad_planar = pallas_slab.march_slabs_bwd(
-        planar.astype(jnp.bfloat16), params, jnp.ones((cfg.D,), _F32),
+        planar16, params, jnp.ones((cfg.D,), _F32),
         zb, gacc4, acc4, cfg.G, cfg.gi, cfg.D, cfg.bd, cfg.perm,
         basis_lo=blo, basis_hi=bhi, extra=extra, fmt=cfg.fmt, rot=rot,
-        flip=cfg.flip, bbox_full=bfull)
-    return (grad_planar.astype(planar.dtype), jnp.zeros_like(params),
+        flip=cfg.flip, bbox_full=bfull,
+        out_dtype=jnp.bfloat16 if _GRAD_BF16 else _F32)
+    return (grad_planar.astype(_F32), jnp.zeros_like(params),
             jnp.zeros_like(zb), jnp.zeros_like(extra))
 
 
 _march_diff_pallas.defvjp(_march_pallas_fwd, _march_pallas_bwd)
+
+#: lean-training knob: emit the backward kernel's payload cotangent in
+#: bf16 (halves the second-largest training tensor; ~8-bit-mantissa
+#: gradient rounding BEFORE the f32 pyramid reduction). Default off —
+#: gradient-parity tests pin the f32 path; FrameTrainer(lean=True) flips
+#: it (callers must jax.clear_caches() after flipping by hand).
+_GRAD_BF16 = False
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,50 @@ _F32 = jnp.float32
 #: constant so tests can force the banded path at small scale.
 _FULL_TABLE_MAX_BYTES = 12 * 2 ** 20
 
+#: display-path in-plane occupancy crop (see inplane_crop / march_slabs
+#: crop=): slice the Pallas payload to the occupied row/col ranges so
+#: sparse-scene shade/warp compute and HBM streaming scale with the
+#: occupied sub-box instead of G^2 — the slab-dataflow answer to the
+#: reference's per-voxel empty-space skipping (rt_core.cuh:36-49). Exact
+#: (cropped voxels are sub-threshold => masked to zero anyway). Default
+#: OFF until the on-chip preflight gates it (kernel-knob change policy);
+#: callers must jax.clear_caches() after flipping.
+_INPLANE_CROP = False
+#: crop length granularity: rows = the int8 sublane tile, cols = the lane
+#: tile (offsets are free — the sliced payload is a fresh dense array).
+#: Module constants so interpret-mode tests can exercise the crop at
+#: small G.
+_CROP_MULT_Y = 32
+_CROP_MULT_X = 128
+
+
+def inplane_crop(grid: DenseGrid, perm: Tuple[int, int, int],
+                 sigma_thresh: float) -> Optional[Tuple[int, int, int, int]]:
+    """Static (y0, Gy, x0, Gx) in-plane crop for slab axis perm[0], from
+    the bake's per-axis occupancy metadata. Lengths are rounded up to the
+    payload tile granularity (rows: 32 — the int8 sublane tile; cols:
+    128 — the lane tile; offsets are free: the sliced payload is a fresh
+    dense array). None when disabled/unknown/uncroppable (dense scenes
+    return the full extent, so the kernel specialization is unchanged)."""
+    if not _INPLANE_CROP or grid.occ_max is None:
+        return None
+    G = grid.G
+
+    def rng(axis: int, mult: int) -> Tuple[int, int]:
+        occ = np.asarray(grid.occ_max[axis], np.float64)
+        idx = np.nonzero(occ > sigma_thresh)[0]
+        if idx.size == 0:
+            return 0, min(mult, G)   # empty scene: march culls everything
+        lo, hi = int(idx[0]), int(idx[-1]) + 1
+        L = min(G, -(-(hi - lo) // mult) * mult)
+        return max(0, min(lo, G - L)), L
+
+    y0, Gy = rng(perm[1], _CROP_MULT_Y)
+    x0, Gx = rng(perm[2], _CROP_MULT_X)
+    if Gy == G and Gx == G:
+        return None
+    return (y0, Gy, x0, Gx)
+
 
 def _cam_corners(width: int, height: int, fx: float, fy: float,
                  n_edge: int = 33) -> np.ndarray:
@@ -242,13 +286,15 @@ def render_frame(grid: DenseGrid, transform, fx, fy,
     trees only.
     """
     use_pallas = _pallas_ok(grid, opt)
+    crop = (inplane_crop(grid, perm, float(opt.sigma_thresh))
+            if use_pallas else None)
     gdata = ((payload, None) if payload is not None and use_pallas
-             else _permuted_grid(grid, perm, use_pallas))
+             else _permuted_grid(grid, perm, use_pallas, crop=crop))
     mesh = (None if mesh_dist is None
             else (jnp.asarray(mesh_dist, _F32), jnp.asarray(mesh_rgb, _F32)))
     return _render_frame_impl(grid, gdata, transform, fx, fy, perm, flip,
                               width, height, opt, gi, use_pallas,
-                              mesh=mesh, out_dtype=out_dtype)
+                              mesh=mesh, out_dtype=out_dtype, crop=crop)
 
 
 def prepare_payload(grid: DenseGrid, perm: Tuple[int, int, int],
@@ -262,7 +308,8 @@ def prepare_payload(grid: DenseGrid, perm: Tuple[int, int, int],
     march order), so at most 6 cached copies cover every pose."""
     if not _pallas_ok(grid, opt):
         return None
-    return _permuted_grid(grid, perm, True)[0]
+    crop = inplane_crop(grid, perm, float(opt.sigma_thresh))
+    return _permuted_grid(grid, perm, True, crop=crop)[0]
 
 
 @partial(jax.jit, static_argnames=("perm", "flip", "width", "height",
@@ -276,8 +323,10 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
     pre-permuted via ``payload`` — see prepare_payload). Returns
     (N, H, W, 4)."""
     use_pallas = _pallas_ok(grid, opt)
+    crop = (inplane_crop(grid, perm, float(opt.sigma_thresh))
+            if use_pallas else None)
     gdata = ((payload, None) if payload is not None and use_pallas
-             else _permuted_grid(grid, perm, use_pallas))
+             else _permuted_grid(grid, perm, use_pallas, crop=crop))
     transforms = jnp.asarray(transforms, _F32)
 
     if not use_pallas:
@@ -305,7 +354,7 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
         return _pallas_march_finalize(
             grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
             flip, width, height, opt, gi, origin=origin,
-            out_dtype=out_dtype)
+            out_dtype=out_dtype, crop=crop)
 
     return lax.map(one, stacked)
 
@@ -331,7 +380,8 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
                            u0, du, v0, dv, fx, fy,
                            perm: Tuple[int, int, int], flip: bool,
                            width: int, height: int, opt: RenderOptions,
-                           gi: int, origin=None, mesh=None, out_dtype=None):
+                           gi: int, origin=None, mesh=None, out_dtype=None,
+                           crop=None):
     """March one pose through the fused kernel, then finalize + warp
     (shared by the single-pose and batched paths)."""
     from volrend_tpu.ops import pallas_slab
@@ -350,7 +400,8 @@ def _pallas_march_finalize(grid: DenseGrid, payload, params, zb, R,
         bbox_full=_bbox_full(opt),
         shade_bf16=pallas_slab._BF16_SHADE,
         dir_win=pallas_slab._DIR_WIN,
-        k_per_step=pallas_slab._K_STEP)
+        k_per_step=pallas_slab._K_STEP,
+        crop=crop)
     # finalize PLANAR (rt_core.cuh:176-194 semantics in the march's
     # native (4, gi, gi) emit layout): the superquad warp's table build
     # consumes planar directly, so the (gi, gi, 4) relayout the old path
@@ -409,15 +460,19 @@ def _pallas_ok(grid: DenseGrid, opt: RenderOptions) -> bool:
     return False
 
 
-def _permuted_grid(grid: DenseGrid, perm, use_pallas: bool):
+def _permuted_grid(grid: DenseGrid, perm, use_pallas: bool, crop=None):
     """Slab-major views: (payload, sigma_plane).
 
     XLA march: payload (z,y,x,D); sigma_plane (z,y,x) only when quantized.
     Pallas march: payload channel-planar (z,D,y,x) (bf16, or int8 codes
-    dequantized in-kernel); sigma always a dedicated full-precision bf16
-    plane (transmittance is precision-critical)."""
+    dequantized in-kernel), in-plane-sliced to ``crop`` when given; sigma
+    always a dedicated full-precision bf16 plane (transmittance is
+    precision-critical)."""
     if use_pallas:
         planar = jnp.transpose(grid.data, (perm[0], 3, perm[1], perm[2]))
+        if crop is not None:
+            y0, Gy, x0, Gx = crop
+            planar = planar[:, :, y0:y0 + Gy, x0:x0 + Gx]
         if not grid.quantized:
             # Mosaic has no f16; bf16 costs ~0.4% relative on SH coeffs
             planar = planar.astype(jnp.bfloat16)
@@ -673,7 +728,8 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
                        perm: Tuple[int, int, int], flip: bool,
                        width: int, height: int, opt: RenderOptions,
                        gi: int, use_pallas: bool = False, mesh=None,
-                       unit_slope_box: bool = False, out_dtype=None):
+                       unit_slope_box: bool = False, out_dtype=None,
+                       crop=None):
     G = grid.G
     D = grid.data_dim
     bd = grid.basis_dim
@@ -698,7 +754,7 @@ def _render_frame_impl(grid: DenseGrid, gdata, transform, fx, fy,
         return _pallas_march_finalize(
             grid, payload, params, zb, R, u0, du, v0, dv, fx, fy, perm,
             flip, width, height, opt, gi, origin=g.origin_w, mesh=mesh,
-            out_dtype=out_dtype)
+            out_dtype=out_dtype, crop=crop)
 
     # Key restructuring for TPU dataflow: shade (SH -> rgb) *per voxel in
     # slab layout* first, then resample only 4 channels [sigma, sigma*rgb]
@@ -1068,13 +1124,16 @@ def _render_split_jit(grid: DenseGrid, transform, fx, fy,
     for ci, (axis, flip) in enumerate(classes):
         perm = (axis, (axis + 1) % 3, (axis + 2) % 3)
         pay = payloads[ci] if payloads is not None else None
+        crop = (inplane_crop(grid, perm, float(opt.sigma_thresh))
+                if use_pallas else None)
         # per-frame payload permutes cost ~5 ms each at bench scale
         # (profiled); interactive callers pass pre-permuted payloads
         gdata = ((pay, None) if pay is not None and use_pallas
-                 else _permuted_grid(grid, perm, use_pallas))
+                 else _permuted_grid(grid, perm, use_pallas, crop=crop))
         outs.append(_render_frame_impl(
             grid, gdata, transform, fx, fy, perm, flip, width, height,
-            opt, gi, use_pallas, unit_slope_box=True, mesh=mesh))
+            opt, gi, use_pallas, unit_slope_box=True, mesh=mesh,
+            crop=crop))
 
     transform = jnp.asarray(transform, _F32).reshape(3, 4)
     R = transform[:, :3]

@@ -28,7 +28,48 @@ from volrend_tpu.models.n3tree import N3Tree, TreeArrays
 from volrend_tpu.ops import grad as grad_mod
 from volrend_tpu.utils.options import RenderOptions
 
-__all__ = ["Trainer", "FrameTrainer", "psnr"]
+__all__ = ["Trainer", "FrameTrainer", "psnr", "lean_adam"]
+
+
+def lean_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
+              eps: float = 1e-8, state_dtype=jnp.bfloat16):
+    """Adam with BOTH moments stored in ``state_dtype`` (bf16 default) —
+    halves the optimizer-state HBM that blocks bench-scale (G=256)
+    single-chip training (f32 m+v alone are ~8.4 GB there; VERDICT r4
+    item 4). The update math runs in f32; only the carried state rounds.
+    bf16's 8 mantissa bits cost ~0.4% relative on sqrt(v) — noise-level
+    next to the gradient stochasticity of frame-subset training.
+
+    optax.adam(mu_dtype=...) covers m only; v has no dtype knob, hence
+    this transform.
+    """
+    def init(params):
+        z = lambda p: jnp.zeros(jnp.shape(p), state_dtype)
+        return (jax.tree_util.tree_map(z, params),
+                jax.tree_util.tree_map(z, params),
+                jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params=None):
+        del params
+        m, v, t = state
+        t = t + 1
+        mf = jax.tree_util.tree_map(
+            lambda mm, g: b1 * mm.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32), m, grads)
+        vf = jax.tree_util.tree_map(
+            lambda vv, g: b2 * vv.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)), v, grads)
+        c1 = 1.0 - b1 ** t.astype(jnp.float32)
+        c2 = 1.0 - b2 ** t.astype(jnp.float32)
+        upd = jax.tree_util.tree_map(
+            lambda mh, vh: (-lr * (mh / c1)
+                            / (jnp.sqrt(vh / c2) + eps)).astype(jnp.float32),
+            mf, vf)
+        cast = lambda tree: jax.tree_util.tree_map(
+            lambda x: x.astype(state_dtype), tree)
+        return upd, (cast(mf), cast(vf), t)
+
+    return optax.GradientTransformation(init, update)
 
 
 def psnr(a, b) -> float:
@@ -187,8 +228,21 @@ class FrameTrainer(Trainer):
 
     def __init__(self, tree: TreeArrays, opt: Optional[RenderOptions] = None,
                  optimizer=None, lr: float = 1e-2, G: Optional[int] = None,
-                 gi: int = 512):
+                 gi: int = 512, lean: bool = False):
+        """lean=True: the bench-scale memory mode (VERDICT r4 item 4) —
+        bf16 Adam moments (lean_adam) + bf16 backward-kernel payload
+        cotangent (slab_grad._GRAD_BF16). Cuts the G=256 step's HBM
+        footprint by ~5.9 GB (4.2 moments + 1.65 cotangent) at ~8-bit
+        gradient/state rounding; gradient-parity tests pin the default
+        f32 path. Flips a trace-time module knob, so it clears jit
+        caches."""
         from volrend_tpu.ops import dense_grid, slab_grad
+        if lean:
+            if optimizer is None:
+                optimizer = lean_adam(lr)
+            if not slab_grad._GRAD_BF16:
+                slab_grad._GRAD_BF16 = True
+                jax.clear_caches()
         self.gi = gi
         self.grid = dense_grid.bake_dense(tree, G=G)
         self.bmap = slab_grad.build_bake_map(tree, G=G)
