@@ -63,9 +63,10 @@ FLOOR_ORBIT = 54.0
 FLOOR_STEEP = 52.0
 FLOOR_SPARSE = 47.5
 # NDC/LLFF pose class (volrend.cu:34-54 warp semantics on the slab path;
-# VERDICT r4 item 6): floor set from the r5 on-chip measurement minus
-# ~2 dB headroom, like the others.
-FLOOR_NDC = 38.0
+# VERDICT r4 item 6): floor set from the r5 on-chip measurement (49.84 dB
+# with the u8 display emit, docs/PERF_R16.json) minus ~2.3 dB headroom,
+# like the others.
+FLOOR_NDC = 47.5
 
 
 def get_tree():

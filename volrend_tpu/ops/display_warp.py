@@ -530,15 +530,17 @@ def to_display_dtype(x, out_dtype):
 
 #: production cascade: ((By, Bx), (Wy, Wx)) levels, tried biggest block
 #: first with per-pose misfit gates falling through to the next level and
-#: finally the reference warp. Candidate upgrade (pending on-chip
-#: preflight per the kernel-knob policy): append ((4, 4), (5, 4)) — the
-#: 5-row window buys the y margin the parked square-window 4x4 lacked
-#: (it fit only 4/16 orbit poses) and halves the gather rows again vs
-#: (2, 4), while x stays at the 4-px footprint ceiling (CLAUDE.md r4:
-#: (2, 8) misfits all orbit poses). Module constant so bench/preflight
-#: can pin levels; changing it is a kernel-knob change (preflight on
-#: chip first).
-_CASCADE: Tuple = (((2, 2), (4, 4)), ((2, 4), (4, 4)))
+#: finally the reference warp. r5 production: the (4, 4) block with a
+#: 5x5 window — 1/4 the gather rows of the r4 (2, 4) config; the extra
+#: window ROW buys the y margin the parked square-window 4x4 lacked and
+#: the extra window COLUMN dissolves the r4 "4-px x-footprint ceiling"
+#: (which was a window-width limit, not a block limit): ALL 200 bench
+#: orbit poses fit, where (5, 4) fits only 160 and the misfit fallbacks
+#: made it a net LOSS (on-chip A/B, docs/PERF_R16.json: 215.3 vs 205.6
+#: vs 191.0 Mrays/s at the 48-pose probe scale; psnr_orbit 55.90 dB
+#: unchanged). Module constant so bench/preflight can pin levels;
+#: changing it is a kernel-knob change (preflight on chip first).
+_CASCADE: Tuple = (((2, 2), (4, 4)), ((4, 4), (5, 5)))
 
 
 def _norm_cascade(block) -> Tuple:

@@ -63,10 +63,12 @@ _FULL_TABLE_MAX_BYTES = 12 * 2 ** 20
 #: sparse-scene shade/warp compute and HBM streaming scale with the
 #: occupied sub-box instead of G^2 — the slab-dataflow answer to the
 #: reference's per-voxel empty-space skipping (rt_core.cuh:36-49). Exact
-#: (cropped voxels are sub-threshold => masked to zero anyway). Default
-#: OFF until the on-chip preflight gates it (kernel-knob change policy);
-#: callers must jax.clear_caches() after flipping.
-_INPLANE_CROP = False
+#: (cropped voxels are sub-threshold => masked to zero anyway). r5
+#: production ON: on-chip A/B (docs/PERF_R16.json) — sparse 246.8 ->
+#: 288.8 Mrays/s (301.7 with the r5 cascade) at an unchanged 49.83 dB
+#: gate; the dense fog scene is uncroppable (crop=None) so it is
+#: untouched. Callers must jax.clear_caches() after flipping.
+_INPLANE_CROP = True
 #: crop length granularity: rows = the int8 sublane tile, cols = the lane
 #: tile (offsets are free — the sliced payload is a fresh dense array).
 #: Module constants so interpret-mode tests can exercise the crop at
