@@ -467,26 +467,80 @@ def _level_fits(gyf, gxf, gi: int, B, win=(4, 4)):
     return jnp.mean(misfit.astype(_F32)) < 1e-3
 
 
-def _level_geometry(gyf, gxf, gi: int, B, win=(4, 4)):
+def _sub_slopes(R, fx, fy, width: int, height: int, gi: int,
+                perm: Tuple[int, int, int], u0, du, v0, dv, scale,
+                ndc=None, origin=None, B=2):
+    """Per-subpixel slope-grid coordinates in (By*Bx, Hh, Wh) layout,
+    computed DIRECTLY as fused broadcasts (the r4 formulation). Strided
+    views of the full-res planes cost XLA transpose copies (~0.4-0.7
+    ms/frame at 800^2, the r5 bench regression); these broadcasts fuse
+    into one elementwise kernel with no relayout."""
+    from volrend_tpu.ops.slab_render import _slopes_from_dirs
+    By, Bx = _block2d(B)
+    Hh, Wh = height // By, width // Bx
+
+    if ndc is None:
+        sc = jnp.broadcast_to(jnp.asarray(scale, _F32), (3,))
+        po, qo = np.mgrid[0:By, 0:Bx].reshape(2, -1).astype(np.float32)
+        xs = ((jnp.arange(Wh, dtype=_F32)[None, :] * Bx
+               + jnp.asarray(qo)[:, None] - 0.5 * width)
+              / fx)[:, None, :]                     # (By*Bx, 1, Wh)
+        ys = (-(jnp.arange(Hh, dtype=_F32)[None, :] * By
+                + jnp.asarray(po)[:, None] - 0.5 * height)
+              / fy)[:, :, None]                     # (By*Bx, Hh, 1)
+
+        def lin(k):
+            a = R[perm[k]] * sc[perm[k]]
+            return xs * a[0] + ys * a[1] - a[2]
+
+        den, nu, nv = lin(0), lin(1), lin(2)
+        inv = 1.0 / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        gy = (nu * inv - u0) / du                   # (By*Bx, Hh, Wh)
+        gx = (nv * inv - v0) / dv
+    else:
+        # NDC warp of dirs is origin-dependent — general per-subpixel path
+        def sub(p: int, q: int):
+            xs = (jnp.arange(Wh, dtype=_F32) * Bx + q - 0.5 * width) / fx
+            ys = -(jnp.arange(Hh, dtype=_F32) * By + p - 0.5 * height) / fy
+            d_cam = jnp.stack([
+                jnp.broadcast_to(xs[None, :], (Hh, Wh)),
+                jnp.broadcast_to(ys[:, None], (Hh, Wh)),
+                -jnp.ones((Hh, Wh), _F32)], -1)
+            d_world = jnp.einsum("hwc,kc->hwk", d_cam, R)
+            from volrend_tpu.ops.render_jax import world2ndc
+            ndir, _ = world2ndc(
+                ndc, d_world, jnp.broadcast_to(origin, d_world.shape))
+            d_tree = ndir * scale
+            us, vs = _slopes_from_dirs(d_tree, perm)
+            return (us - u0) / du, (vs - v0) / dv
+
+        subs = [sub(p, q) for p in range(By) for q in range(Bx)]
+        gy = jnp.stack([s[0] for s in subs])
+        gx = jnp.stack([s[1] for s in subs])
+    return gy, gx
+
+
+def _level_geometry(geom_args, gi: int, B, win=(4, 4)):
     """Per-subpixel positions/masks + shared window corners for one
-    (block, window) level, as strided views of the full-res slope planes.
+    (block, window) level, computed from scalars inside the taken cond
+    branch (geom_args = the _sub_slopes arguments).
 
     Returns (gys, gxs, okm, Y0, X0): (By*Bx, Hh, Wh) clipped subpixel
     positions / ok masks and (Hh, Wh) int32 window corners."""
-    By, Bx = _block2d(B)
     Wy, Wx = _win2d(win)
-    H, W = gyf.shape
-    Hh, Wh = H // By, W // Bx
-    # subpixel-major views: s = p*Bx + q
-    gy = (gyf.reshape(Hh, By, Wh, Bx).transpose(1, 3, 0, 2)
-          .reshape(By * Bx, Hh, Wh))
-    gx = (gxf.reshape(Hh, By, Wh, Bx).transpose(1, 3, 0, 2)
-          .reshape(By * Bx, Hh, Wh))
+    gy, gx = _sub_slopes(*geom_args, B=B)
     ok = (gy >= 0) & (gy <= gi - 1) & (gx >= 0) & (gx <= gi - 1)
     gys = jnp.clip(gy, 0.0, gi - 1 - 1e-6)
     gxs = jnp.clip(gx, 0.0, gi - 1 - 1e-6)
     okm = ok.astype(_F32)
-    ymin, _, xmin, _, _ = _block_extents(gyf, gxf, gi, B)
+    # window corner from the OK subpixels only: at the image border a
+    # clipped off-grid subpixel would otherwise drag the shared window
+    # away from its in-grid block-mates
+    big = _F32(1e9)
+    inb = okm > 0.5
+    any_in = jnp.any(inb, 0)
+    ymin = jnp.where(any_in, jnp.min(jnp.where(inb, gys, big), 0), 0.0)
+    xmin = jnp.where(any_in, jnp.min(jnp.where(inb, gxs, big), 0), 0.0)
     Y0 = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, gi - Wy)
     X0 = jnp.clip(jnp.floor(xmin).astype(jnp.int32), 0, gi - Wx)
     return gys, gxs, okm, Y0, X0
@@ -503,9 +557,11 @@ def _sub_geometry(R, fx, fy, width: int, height: int, gi: int,
     Returns (gys, gxs, okm, Y0, X0, fits): (By*Bx, Hh, Wh) clipped
     subpixel positions / ok masks, (Hh, Wh) int32 window corners, and the
     whole-frame bulk-misfit predicate (see warp_to_screen_sq)."""
+    geom_args = (R, fx, fy, width, height, gi, perm, u0, du, v0, dv,
+                 scale, ndc, origin)
+    gys, gxs, okm, Y0, X0 = _level_geometry(geom_args, gi, B, win)
     gyf, gxf = _pixel_slopes(R, fx, fy, width, height, gi, perm,
                              u0, du, v0, dv, scale, ndc=ndc, origin=origin)
-    gys, gxs, okm, Y0, X0 = _level_geometry(gyf, gxf, gi, B, win)
     fits = _level_fits(gyf, gxf, gi, B, win)
     return gys, gxs, okm, Y0, X0, fits
 
@@ -586,7 +642,10 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
             [jnp.asarray(mesh_rgb, _F32),
              hit.astype(_F32)[..., None]], -1)       # (H, W, 4)
 
-    def make_fast(B, win, gyf, gxf):
+    geom_args = (R, fx, fy, width, height, gi, perm, u0, du, v0, dv,
+                 scale, ndc, origin)
+
+    def make_fast(B, win):
         By, Bx = _block2d(B)
         Wy, Wx = _win2d(win)
         Hh, Wh = height // By, width // Bx
@@ -599,9 +658,12 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
                 0)
 
         def fast(it_in):
-            # per-subpixel geometry built HERE, inside the taken branch
+            # per-subpixel geometry built HERE, inside the taken branch,
+            # as fused broadcasts from scalars (strided views of the
+            # full-res planes cost XLA transpose copies — the r5 bench
+            # regression, 344.7 -> 250.3 Mrays/s)
             gys, gxs, okm, Y0, X0 = _level_geometry(
-                gyf, gxf, gi, B, (Wy, Wx))
+                geom_args, gi, B, (Wy, Wx))
             tdt = jnp.int8 if _TABLE_INT8 else jnp.bfloat16
             tbl = _build_table(it_in, gi, dtype=tdt, planar=planar,
                                win=(Wy, Wx))
@@ -642,7 +704,7 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
     fn = slow
     for B, win in levels:
         fits = _level_fits(gyf, gxf, gi, B, win)
-        fn = partial(jax.lax.cond, fits, make_fast(B, win, gyf, gxf), fn)
+        fn = partial(jax.lax.cond, fits, make_fast(B, win), fn)
     return fn(inter)
 
 
