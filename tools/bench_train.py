@@ -101,8 +101,21 @@ def main():
             np.full((H, W, 4), 0.5, np.float32)))
 
     _log("compiling first step")
-    for s in range(args.warmup):
-        loss = tr.step_frame(cams[s % args.poses], targets[s % args.poses])
+    try:
+        for s in range(args.warmup):
+            loss = tr.step_frame(cams[s % args.poses],
+                                 targets[s % args.poses])
+    except Exception as e:
+        # fail-soft: an OOM at bench scale is a PARKED artifact entry,
+        # not a crashed script (VERDICT r4 item 4)
+        _write(args, {
+            "metric": "train_ms_per_step", "value": None, "unit": "ms",
+            "status": "parked",
+            "error": f"{type(e).__name__}: {e}"[:500],
+            "grid": int(tr.grid.G), "lean": args.lean,
+            "resolution": [args.size, args.size], "gi": args.gi,
+        })
+        return
     _log(f"warm (loss {loss:.5f}); timing {args.steps} steps")
 
     dts = []

@@ -559,7 +559,11 @@ def _march_pallas_bwd(cfg: SlabCfg, res, gbar):
         basis_lo=blo, basis_hi=bhi, extra=extra, fmt=cfg.fmt, rot=rot,
         flip=cfg.flip, bbox_full=bfull,
         out_dtype=jnp.bfloat16 if _GRAD_BF16 else _F32)
-    return (grad_planar.astype(_F32), jnp.zeros_like(params),
+    # the cotangent dtype must match the primal: f32 normally, bf16 in
+    # lean mode (render_frame_train feeds a bf16 planar then — both
+    # sides key off the same _GRAD_BF16 trace-time knob)
+    return (grad_planar.astype(jnp.bfloat16 if _GRAD_BF16 else _F32),
+            jnp.zeros_like(params),
             jnp.zeros_like(zb), jnp.zeros_like(extra))
 
 
@@ -621,7 +625,13 @@ def render_frame_train(data, bmap: BakeMap, grid: DenseGrid, transform,
         backend = ("pallas" if use_custom_vjp and _pallas_train_ok(cfg)
                    else "scan")
     if backend == "pallas":
-        planar = jnp.transpose(payload, (perm[0], 3, perm[1], perm[2]))
+        # lean mode: cast BEFORE the transpose — the planar copy and every
+        # adjoint buffer at this boundary then materialize in bf16 (half
+        # the G=256 step's largest transients; the kernel consumed bf16
+        # either way, so forward values are identical)
+        pdt = jnp.bfloat16 if _GRAD_BF16 else _F32
+        planar = jnp.transpose(payload.astype(pdt),
+                               (perm[0], 3, perm[1], perm[2]))
         inv_scale = 1.0 / geom.scale
         params = lax.stop_gradient(_pack_geom_params(geom, cfg, inv_scale))
         zb = lax.stop_gradient(jnp.stack([geom.z_lo_pix, geom.z_hi_pix]))
