@@ -114,6 +114,8 @@ def main():
             "error": f"{type(e).__name__}: {e}"[:500],
             "grid": int(tr.grid.G), "lean": args.lean,
             "resolution": [args.size, args.size], "gi": args.gi,
+            "memory_arithmetic": _mem_arithmetic(int(tr.grid.G), 28,
+                                                 args.lean),
         })
         return
     _log(f"warm (loss {loss:.5f}); timing {args.steps} steps")
@@ -159,6 +161,37 @@ def main():
     if args.lean:
         rec["lean"] = True
     _write(args, rec)
+
+
+def _mem_arithmetic(G, D, lean):
+    """Static HBM budget of one FrameTrainer step (GB), for the parked
+    OOM record: the measured options and what each bought."""
+    gb = 1 / 2 ** 30
+    vox = G ** 3 * D
+    pyr = 1.14 * vox * 4 * gb          # f32 pyramid params (all levels)
+    mom = 1.14 * vox * (2 if lean else 8) * gb   # adam m+v (bf16 if lean)
+    pay = vox * (2 if lean else 4) * gb          # planar payload (+copy)
+    cot = vox * (2 if lean else 4) * gb          # bwd payload cotangent
+    pgrad = 1.14 * vox * 4 * gb        # f32 pyramid grads
+    bake_t = vox * 4 * gb              # f32 bake transient pre-cast
+    return {
+        "voxels": vox,
+        "pyramid_f32_gb": round(pyr, 2),
+        "adam_moments_gb": round(mom, 2),
+        "planar_payload_gb": round(pay, 2),
+        "payload_cotangent_gb": round(cot, 2),
+        "pyramid_grads_f32_gb": round(pgrad, 2),
+        "bake_transient_f32_gb": round(bake_t, 2),
+        "sum_gb": round(pyr + mom + pay + cot + pgrad + bake_t, 2),
+        "hbm_gb": 16,
+        "levers_applied": (["bf16 moments (lean_adam)",
+                            "bf16 planar + residual",
+                            "bf16 bwd cotangent (_GRAD_BF16)",
+                            "display-bake payload dropped"] if lean
+                           else []),
+        "note": ("z-sharded training (step_frame_zsharded) is the "
+                 "designed multi-chip configuration for this scale"),
+    }
 
 
 def _write(args, rec):

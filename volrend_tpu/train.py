@@ -245,6 +245,16 @@ class FrameTrainer(Trainer):
                 jax.clear_caches()
         self.gi = gi
         self.grid = dense_grid.bake_dense(tree, G=G)
+        if lean:
+            # training never reads the display bake's payload (voxels come
+            # from the trainable pyramid via bmap; the grid supplies only
+            # metadata + occupancy) — dropping it frees ~1.4 GB at G=256
+            # (f16 payload + bf16 sigma plane). render_current-style
+            # callers re-bake from the pyramid anyway.
+            self.grid = dataclasses.replace(
+                self.grid,
+                data=jnp.zeros((0,), jnp.float16),
+                sigma_grid=jnp.zeros((0,), jnp.bfloat16))
         self.bmap = slab_grad.build_bake_map(tree, G=G)
         self._K = int(np.asarray(tree.data).shape[0])
         self._dim = int(np.asarray(tree.data).shape[-1])
