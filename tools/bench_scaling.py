@@ -80,11 +80,15 @@ def measure_cpu_mesh(device_counts=(1, 2, 4, 8), rays_per_dev=1 << 15,
             continue
         mesh = dist.make_mesh(jax.devices()[:n])
         tr = dist.replicate_tree(dev, mesh)
-        nr = n * rays_per_dev
+        nr = min(n * rays_per_dev, origins_all.shape[0])
         # uniform strided subsample: every device count must see the same
         # ray distribution (a contiguous [:nr] slice is the top image rows
-        # only — mostly volume misses — which made per-count work unequal)
-        idx = (np.arange(nr) * (origins_all.shape[0] // nr))[:nr]
+        # only — mostly volume misses — which made per-count work unequal).
+        # Float stride: an integer floor would collapse to stride 0 (every
+        # index = ray 0) whenever total isn't a multiple of nr
+        idx = np.minimum(
+            (np.arange(nr) * (origins_all.shape[0] / nr)).astype(np.int64),
+            origins_all.shape[0] - 1)
         o, d, _ = dist.shard_rays(origins_all[idx], dirs_all[idx], mesh)
 
         def render():

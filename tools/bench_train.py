@@ -201,16 +201,20 @@ def _write(args, rec):
                            os.path.dirname(os.path.abspath(__file__))),
                            "docs", "BENCH_TRAIN.json"))
     if out:
-        doc = rec
+        doc = {}
+        if os.path.isfile(out):
+            try:
+                with open(out) as f:
+                    doc = _json.load(f)
+            except Exception:
+                doc = {}
         if args.key:
-            doc = {}
-            if os.path.isfile(out):
-                try:
-                    with open(out) as f:
-                        doc = _json.load(f)
-                except Exception:
-                    doc = {}
             doc[args.key] = rec
+        else:
+            # merge: update the base record's fields but PRESERVE keyed
+            # sub-records (a plain rerun must not delete e.g. g256_lean)
+            doc = {k: v for k, v in doc.items() if isinstance(v, dict)}
+            doc.update(rec)
         with open(out, "w") as f:
             _json.dump(doc, f, indent=1)
         _log(f"wrote {out}")

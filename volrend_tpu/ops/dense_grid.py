@@ -127,11 +127,13 @@ def _supersample_edge_band(dev, data, G: int, meta, n_sub: int,
     ids = np.flatnonzero(band.reshape(-1)).astype(np.int32)
     if ids.size == 0:
         return data
-    # pad to a whole number of chunks (repeating id 0 is harmless: the
-    # final scatter writes the same averaged value twice)
+    # pad to a whole number of chunks with a BAND id (repeating a band
+    # voxel just rewrites its own averaged value; padding with voxel 0
+    # would supersample a voxel outside the band, violating the
+    # interior-voxels-keep-exact-samples contract)
     sub_chunk = max(1, (2 ** 21) // (n_sub ** 3))
     pad = (-ids.size) % sub_chunk
-    ids_p = np.concatenate([ids, np.zeros(pad, np.int32)])
+    ids_p = np.concatenate([ids, np.full(pad, ids[0], np.int32)])
     offs = (np.arange(n_sub, dtype=np.float32) + 0.5) / n_sub  # in-voxel
     oz, oy, ox = np.meshgrid(offs, offs, offs, indexing="ij")
     sub = np.stack([oz, oy, ox], -1).reshape(-1, 3)            # (n^3, 3)

@@ -608,8 +608,18 @@ def _norm_cascade(block) -> Tuple:
     if (isinstance(block, tuple) and block
             and isinstance(block[0], tuple)
             and isinstance(block[0][0], tuple)):
-        return block                    # already ((B),(W)) levels
-    return (((2, 2), (4, 4)), (_block2d(block), (4, 4)))
+        levels = block                  # already ((B),(W)) levels
+    else:
+        levels = (((2, 2), (4, 4)), (_block2d(block), (4, 4)))
+    # dedupe (an explicit block=2 would otherwise build two identical
+    # (2,2)x(4,4) levels: double compile + double fit reductions)
+    seen, out = set(), []
+    for lv in levels:
+        key = (_block2d(lv[0]), _win2d(lv[1]))
+        if key not in seen:
+            seen.add(key)
+            out.append(key)
+    return tuple(out)
 
 
 def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,

@@ -1203,9 +1203,14 @@ def render_frame_split(grid: DenseGrid, transform, fx, fy,
         payloads = []
         for axis, flip in classes:
             perm = (axis, (axis + 1) % 3, (axis + 2) % 3)
-            if perm not in payload_cache:
-                payload_cache[perm] = prepare_payload(grid, perm, opt)
-            payloads.append(payload_cache[perm])
+            # key includes the in-plane crop: it depends on
+            # opt.sigma_thresh, so a threshold change (viewer slider)
+            # must miss the cache instead of reusing a stale slice
+            key = (perm, inplane_crop(grid, perm,
+                                      float(opt.sigma_thresh)))
+            if key not in payload_cache:
+                payload_cache[key] = prepare_payload(grid, perm, opt)
+            payloads.append(payload_cache[key])
         payloads = tuple(payloads)
     return np.asarray(_render_split_jit(grid, tr, fx, fy, classes,
                                         width, height, opt, gi,
@@ -1289,9 +1294,12 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
             mesh_rgb = buf.color.astype(np.float16)
     payload = None
     if payload_cache is not None:
-        if perm not in payload_cache:
-            payload_cache[perm] = prepare_payload(grid, perm, opt)
-        payload = payload_cache[perm]
+        # crop in the key: see render_frame_split (sigma_thresh changes
+        # must not reuse a stale cropped payload)
+        key = (perm, inplane_crop(grid, perm, float(opt.sigma_thresh)))
+        if key not in payload_cache:
+            payload_cache[key] = prepare_payload(grid, perm, opt)
+        payload = payload_cache[key]
     out = render_frame(grid, jnp.asarray(cam.transform), cam.fx, cam.fy,
                        perm, flip, cam.width, cam.height, opt, gi,
                        payload=payload, mesh_dist=mesh_dist,

@@ -237,12 +237,15 @@ class FrameTrainer(Trainer):
         f32 path. Flips a trace-time module knob, so it clears jit
         caches."""
         from volrend_tpu.ops import dense_grid, slab_grad
-        if lean:
-            if optimizer is None:
-                optimizer = lean_adam(lr)
-            if not slab_grad._GRAD_BF16:
-                slab_grad._GRAD_BF16 = True
-                jax.clear_caches()
+        # the knob is process-global and read at trace time: set it to
+        # THIS trainer's mode either way (latest constructed wins), so a
+        # lean run can never silently leak bf16 gradients into a later
+        # default-precision trainer in the same process
+        if slab_grad._GRAD_BF16 != lean:
+            slab_grad._GRAD_BF16 = lean
+            jax.clear_caches()
+        if lean and optimizer is None:
+            optimizer = lean_adam(lr)
         self.gi = gi
         self.grid = dense_grid.bake_dense(tree, G=G)
         if lean:
