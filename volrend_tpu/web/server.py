@@ -146,11 +146,20 @@ async function refresh() {
   if (busy) { dirty = true; return; }
   busy = true; dirty = false;
   const t0 = performance.now();
-  const r = await fetch(`/frame?w=${canvas.width}&h=${canvas.height}`);
+  // adaptive drag resolution: while the user drags, fetch a half-res
+  // frame (4x smaller PNG over the wire — the tunnel transfer dominates
+  // per-frame latency) and upscale on the canvas; the mouseup refresh
+  // restores full resolution. Sizes snap to multiples of 4 so the
+  // (4,4)-block superquad fast path stays usable.
+  const sc = dragging ? 2 : 1;
+  const rw = Math.max(4, Math.floor(canvas.width / sc / 4) * 4);
+  const rh = Math.max(4, Math.floor(canvas.height / sc / 4) * 4);
+  const r = await fetch(`/frame?w=${rw}&h=${rh}`);
   const blob = await r.blob();
   const img = await createImageBitmap(blob);
   const ctx = canvas.getContext('2d');
-  ctx.drawImage(img, 0, 0);
+  ctx.imageSmoothingEnabled = true;
+  ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
   await drawGizmo(ctx);
   const dt = performance.now() - t0;
   document.getElementById('fps').textContent = (1000/dt).toFixed(1) + ' fps';
@@ -184,6 +193,7 @@ window.addEventListener('mouseup', () => {
   if (dragging) {
     dragging = false; lastXY = null;
     if (!gizmo.name) post('/event', {type:'up'});
+    else refresh();  // restore full resolution after a gizmo drag
   }
 });
 canvas.addEventListener('contextmenu', e => e.preventDefault());
