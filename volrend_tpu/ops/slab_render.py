@@ -76,6 +76,12 @@ _INPLANE_CROP = True
 _CROP_MULT_Y = 32
 _CROP_MULT_X = 128
 
+#: pose-batch loop unroll for render_frames (1 = lax.map, the r4
+#: behavior). Probe knob: scan-unrolling may shrink per-pose
+#: control-flow/dispatch gaps; set via tools probe, adopt only with an
+#: on-chip A/B.
+_MAP_UNROLL = 1
+
 
 def inplane_crop(grid: DenseGrid, perm: Tuple[int, int, int],
                  sigma_thresh: float) -> Optional[Tuple[int, int, int, int]]:
@@ -358,6 +364,14 @@ def render_frames(grid: DenseGrid, transforms, fx, fy,
             flip, width, height, opt, gi, origin=origin,
             out_dtype=out_dtype, crop=crop)
 
+    if _MAP_UNROLL > 1 and stacked[0].shape[0] % _MAP_UNROLL == 0:
+        # scan with unroll: fewer control-flow boundaries per pose batch
+        # (probe knob; lax.map has no unroll)
+        def body(carry, args):
+            return carry, one(args)
+
+        _, frames = lax.scan(body, 0, stacked, unroll=_MAP_UNROLL)
+        return frames
     return lax.map(one, stacked)
 
 
