@@ -157,3 +157,34 @@ def test_bench_scaling_contract(tmp_path):
                     "--rays-per-dev", "2048", "--frame-side", "16",
                     "--reps", "1"])
     assert doc2["tpu_1chip"]["render_mrays"] == 1.0
+
+
+def test_bench_train_write_preserves_keyed_records(tmp_path):
+    """A plain (non---key) bench_train write must merge into the artifact,
+    preserving keyed sub-records like g256_lean (r5 review fix: the old
+    path overwrote the whole file, deleting banked entries)."""
+    import importlib.util
+    import json
+    import types
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_train_test_mod", os.path.join(root, "tools",
+                                             "bench_train.py"))
+    bt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bt)
+    out = str(tmp_path / "bt.json")
+    with open(out, "w") as f:
+        json.dump({"value": 1.0, "g256_lean": {"value": 99.0}}, f)
+    args = types.SimpleNamespace(out=out, cpu_smoke=False, key=None)
+    bt._write(args, {"value": 2.0, "unit": "ms"})
+    with open(out) as f:
+        doc = json.load(f)
+    assert doc["value"] == 2.0
+    assert doc["g256_lean"]["value"] == 99.0
+    # keyed write updates only its key
+    args.key = "g256_lean"
+    bt._write(args, {"value": 50.0})
+    with open(out) as f:
+        doc = json.load(f)
+    assert doc["value"] == 2.0 and doc["g256_lean"]["value"] == 50.0

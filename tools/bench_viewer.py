@@ -84,6 +84,21 @@ def main():
         lat.append(time.perf_counter() - t0)
     state.handle_event({"type": "up", "x": 0, "y": 0, "button": 0})
 
+    # drag-time adaptive resolution (the r5 frontend requests half-res
+    # frames while dragging — 4x smaller tunnel transfer)
+    lat_drag = []
+    state.handle_event({"type": "down", "x": W // 2, "y": H // 2,
+                        "button": 0})
+    hw = (W // 2 // 4) * 4
+    state.render(hw, hw)  # compile the half-res trace
+    for i in range(min(args.frames, 20)):
+        state.handle_event({"type": "move",
+                            "x": W // 2 - 3 * (i + 1), "y": H // 2})
+        t0 = time.perf_counter()
+        state.render(hw, hw)
+        lat_drag.append(time.perf_counter() - t0)
+    state.handle_event({"type": "up", "x": 0, "y": 0, "button": 0})
+
     # PNG-encode share (re-encode the last numpy frame the same way)
     from volrend_tpu.web.server import _write_png_bytes
     import jax.numpy as jnp
@@ -98,11 +113,14 @@ def main():
         enc.append(time.perf_counter() - t0)
 
     lat_ms = np.asarray(lat) * 1e3
+    drag_ms = np.asarray(lat_drag) * 1e3
     rec = {
         "metric": "viewer_frame_latency_ms",
         "value": round(float(np.median(lat_ms)), 1),
         "unit": "ms",
         "fps": round(1e3 / float(np.median(lat_ms)), 1),
+        "drag_halfres_ms": round(float(np.median(drag_ms)), 1),
+        "drag_halfres_fps": round(1e3 / float(np.median(drag_ms)), 1),
         "p90_ms": round(float(np.percentile(lat_ms, 90)), 1),
         "png_encode_ms": round(float(np.median(enc) * 1e3), 1),
         "frames": args.frames,
