@@ -8,13 +8,15 @@ v5e: a 640k-row quad gather (~1.2 ms — XLA gathers are row-rate bound at
 ~450-530 Mrow/s regardless of row width, tools/perf_rows.py) plus layout
 copies. This module rebuilds the warp around three measured facts:
 
-1. **4x fewer gather rows**: gather one 128-byte row per 2x2 SCREEN pixel
-   block — each row packs the 4x4 intermediate-cell window
-   [Y0..Y0+3, X0..X0+3] covering all four subpixels' bilinear footprints
-   (64 bf16 channels). 160k rows gather in ~0.2 ms. (The block size is a
-   parameter; 4x4 blocks — 16x fewer rows, same window — compile and are
-   parity-gated but measured a wash in situ and are parked: only
-   near-slab-axis poses fit the window. See docs/ARCHITECTURE.md ledger.)
+1. **Up to 16x fewer gather rows**: gather one row per (By, Bx) SCREEN
+   pixel block — the row packs a (Wy, Wx) intermediate-cell window
+   covering every subpixel's bilinear footprint (4*Wy*Wx channels).
+   Block and window are PARAMETRIC; the r5 production cascade is the
+   (4,4) block with a 5x5 window (100-byte int8 rows, 40k rows at
+   800^2 — the r4 "4-px x-footprint ceiling" was a window-width limit,
+   and one extra window column/row makes ALL bench poses fit; see
+   _CASCADE + docs/ARCHITECTURE.md ledger). Per-pose misfit gates
+   cascade to smaller blocks and finally the reference warp.
 2. **The row table must be built without XLA minor-dim concats** (those
    cost ~1.5 ms/frame of 20x-roofline copies; a one-hot conv lowers to a
    kLoop fusion at ~1.3 ms — both measured, tools/perf_sq4.py). Instead a
