@@ -1300,3 +1300,49 @@ def test_inplane_crop_march_matches_uncropped(monkeypatch):
     # terms is preserved inside the warp matmul contractions
     np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
     np.testing.assert_allclose(got_pay, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_inplane_crop_with_mesh_compositing(monkeypatch):
+    """Mesh compositing (zbounds clipped at the rasterized mesh distance)
+    must be unaffected by the in-plane payload crop — the mesh clip lives
+    in intermediate (zbounds) space, the crop in payload space."""
+    import jax
+    from volrend_tpu.models.synthetic import make_solid_tree
+    from volrend_tpu.ops import pallas_slab
+    tree = make_solid_tree(max_depth=4, basis_dim=4, seed=3)
+    dev = tree.to_device(lut_depth=None)
+    grid = dense_grid.bake_dense(dev)
+    W = H = 64
+    gi = 32
+    cam = make_cam((1.0, 0.3, 0.35), width=W, height=H)
+    opt = RenderOptions(max_steps=512)
+    perm, flip, slope = slab_render.choose_axis(
+        grid, cam.transform, cam.fx, cam.fy, W, H)
+    assert np.isfinite(slope)
+    rng = np.random.default_rng(5)
+    md = np.full((H, W), np.inf, np.float32)
+    md[H // 3:2 * H // 3, W // 3:2 * W // 3] = 2.4
+    mc = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+
+    monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", True)
+    monkeypatch.setattr(slab_render, "_CROP_MULT_Y", 8)
+    monkeypatch.setattr(slab_render, "_CROP_MULT_X", 8)
+    jax.clear_caches()
+    try:
+        monkeypatch.setattr(slab_render, "_INPLANE_CROP", False)
+        ref = np.asarray(slab_render.render_frame(
+            grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+            W, H, opt, gi=gi, mesh_dist=md, mesh_rgb=mc))
+        monkeypatch.setattr(slab_render, "_INPLANE_CROP", True)
+        assert slab_render.inplane_crop(
+            grid, perm, float(opt.sigma_thresh)) is not None
+        jax.clear_caches()
+        got = np.asarray(slab_render.render_frame(
+            grid, jnp.asarray(cam.transform), cam.fx, cam.fy, perm, flip,
+            W, H, opt, gi=gi, mesh_dist=md, mesh_rgb=mc))
+    finally:
+        monkeypatch.setattr(pallas_slab, "_FORCE_INTERPRET", False)
+        jax.clear_caches()
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+    # the mesh actually composited (its color shows where it occludes)
+    assert not np.allclose(ref[H // 2, W // 2], ref[2, 2])
