@@ -146,12 +146,13 @@ async function refresh() {
   if (busy) { dirty = true; return; }
   busy = true; dirty = false;
   const t0 = performance.now();
-  // adaptive drag resolution: while the user drags, fetch a half-res
-  // frame (4x smaller PNG over the wire — the tunnel transfer dominates
+  // adaptive drag resolution: while the user drags, fetch a reduced
+  // frame (4-16x smaller transfer — the tunnel/device download dominates
   // per-frame latency) and upscale on the canvas; the mouseup refresh
-  // restores full resolution. Sizes snap to multiples of 4 so the
-  // (4,4)-block superquad fast path stays usable.
-  const sc = dragging ? 2 : 1;
+  // restores full resolution. The divisor adapts to the measured frame
+  // time (slow link -> quarter res, fast link -> half). Sizes snap to
+  // multiples of 4 so the (4,4)-block superquad fast path stays usable.
+  const sc = dragging ? dragScale : 1;
   const rw = Math.max(4, Math.floor(canvas.width / sc / 4) * 4);
   const rh = Math.max(4, Math.floor(canvas.height / sc / 4) * 4);
   const r = await fetch(`/frame?w=${rw}&h=${rh}`);
@@ -163,6 +164,10 @@ async function refresh() {
   await drawGizmo(ctx);
   const dt = performance.now() - t0;
   document.getElementById('fps').textContent = (1000/dt).toFixed(1) + ' fps';
+  if (dragging) {
+    if (dt > 90 && dragScale < 4) dragScale *= 2;
+    else if (dt < 35 && dragScale > 2) dragScale /= 2;
+  }
   busy = false;
   if (dirty) refresh();
 }
@@ -170,7 +175,7 @@ async function post(path, body) {
   await fetch(path, {method:'POST', body: JSON.stringify(body)});
   refresh();
 }
-let dragging = false, lastXY = null;
+let dragging = false, lastXY = null, dragScale = 2;
 canvas.addEventListener('mousedown', e => {
   dragging = true;
   if (gizmo.name) { lastXY = [e.offsetX, e.offsetY]; return; }
