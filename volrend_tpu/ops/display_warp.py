@@ -193,6 +193,12 @@ def _build_table(inter, gi: int, dtype=jnp.bfloat16, planar: bool = False,
         itp = itp.astype(dtype)
     call, Hp = _make_build(gi, dtype, win=(Wy, Wx))
     itp = jnp.pad(itp, ((0, 0), (0, Hp + Wy - 1 - gi), (0, 0)))
+    # PARKED (r5, measured): keeping the build kernel's pad rows IN the
+    # table makes this reshape a free bitcast (the [:, :H3] slice shows
+    # as a 6.35 MB reshape+copy pair in the HLO, ~0.08 ms/frame), but
+    # the on-chip bench measured a WASH (347.8 vs 350.9 Mrays/s — XLA
+    # re-materializes the transposed gather layout over the larger table
+    # either way). Keep the sliced exact-size table.
     tblp = call(itp)[:, :H3].reshape(C, H3 * W3)
     return jnp.transpose(tblp, (1, 0))
 
