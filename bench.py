@@ -118,9 +118,14 @@ def get_ndc_tree():
     if os.path.isfile(CACHE_NDC):
         try:
             t = N3Tree(CACHE_NDC)
-            if t.use_ndc:
-                return t
-            os.unlink(CACHE_NDC)
+            # save_npz persists only the scene arrays; this cache is ours,
+            # so restore the NDC sidecar config on load (without this the
+            # cache could never hit and every bench run re-built the tree)
+            if not t.use_ndc:
+                t.use_ndc = True
+                t.ndc = NdcConfig(width=float(W), height=float(H),
+                                  focal=1111.11)
+            return t
         except Exception:
             os.unlink(CACHE_NDC)
     from volrend_tpu.models.synthetic import make_test_tree

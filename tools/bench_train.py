@@ -212,8 +212,11 @@ def _write(args, rec):
             doc[args.key] = rec
         else:
             # merge: update the base record's fields but PRESERVE keyed
-            # sub-records (a plain rerun must not delete e.g. g256_lean)
-            doc = {k: v for k, v in doc.items() if isinstance(v, dict)}
+            # sub-records (a plain rerun must not delete e.g. g256_lean).
+            # memory_arithmetic belongs to a parked base record only —
+            # never carry it into a later healthy one
+            doc = {k: v for k, v in doc.items()
+                   if isinstance(v, dict) and k != "memory_arithmetic"}
             doc.update(rec)
         with open(out, "w") as f:
             _json.dump(doc, f, indent=1)

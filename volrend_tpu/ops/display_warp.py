@@ -607,15 +607,24 @@ def to_display_dtype(x, out_dtype):
 _CASCADE: Tuple = (((2, 2), (4, 4)), ((4, 4), (5, 5)))
 
 
+def _is_level(x) -> bool:
+    """Is ``x`` one ((By,Bx),(Wy,Wx)) cascade level?"""
+    return (isinstance(x, tuple) and len(x) == 2
+            and all(isinstance(e, tuple) and len(e) == 2
+                    and all(isinstance(i, int) for i in e) for e in x))
+
+
 def _norm_cascade(block) -> Tuple:
     """Normalize a ``block`` argument to ((By,Bx),(Wy,Wx)) level tuples.
     None = the production _CASCADE; a bare int/(By,Bx) = that block with
-    the classic 4x4 window (plus the (2,2)x(4,4) safety level)."""
+    the classic 4x4 window (plus the (2,2)x(4,4) safety level); a single
+    ((By,Bx),(Wy,Wx)) level gets the same safety level added."""
     if block is None:
         return _CASCADE
-    if (isinstance(block, tuple) and block
-            and isinstance(block[0], tuple)
-            and isinstance(block[0][0], tuple)):
+    if _is_level(block):
+        levels = (((2, 2), (4, 4)), block)
+    elif (isinstance(block, tuple) and block
+          and all(_is_level(lv) for lv in block)):
         levels = block                  # already ((B),(W)) levels
     else:
         levels = (((2, 2), (4, 4)), (_block2d(block), (4, 4)))
@@ -668,14 +677,19 @@ def warp_to_screen_sq(inter, opt: RenderOptions, R, fx, fy,
         Wy, Wx = _win2d(win)
         Hh, Wh = height // By, width // Bx
         W3 = gi - Wx + 1
-        mesh_planes = None
-        if mrgba is not None:
-            mesh_planes = jnp.stack(
-                [mrgba[p::By, q::Bx, c]
-                 for p in range(By) for q in range(Bx) for c in range(4)],
-                0)
 
         def fast(it_in):
+            # mesh split built INSIDE the taken branch (like the
+            # geometry): closed-over cond operands are computed
+            # regardless of the branch taken, and the strided-slice
+            # stack is exactly the relayout-copy class the r5 ledger
+            # flags — untaken levels must not pay it
+            mesh_planes = None
+            if mrgba is not None:
+                mesh_planes = jnp.stack(
+                    [mrgba[p::By, q::Bx, c]
+                     for p in range(By) for q in range(Bx)
+                     for c in range(4)], 0)
             # per-subpixel geometry built HERE, inside the taken branch,
             # as fused broadcasts from scalars (strided views of the
             # full-res planes cost XLA transpose copies — the r5 bench

@@ -1223,12 +1223,23 @@ def render_frame_split(grid: DenseGrid, transform, fx, fy,
             key = (perm, inplane_crop(grid, perm,
                                       float(opt.sigma_thresh)))
             if key not in payload_cache:
+                _evict_perm(payload_cache, perm)
                 payload_cache[key] = prepare_payload(grid, perm, opt)
             payloads.append(payload_cache[key])
         payloads = tuple(payloads)
     return np.asarray(_render_split_jit(grid, tr, fx, fy, classes,
                                         width, height, opt, gi,
                                         payloads=payloads, mesh=mesh))
+
+
+def _evict_perm(cache: dict, perm) -> None:
+    """Drop a perm's stale payload entries before inserting a new crop
+    variant: each payload is hundreds of MB of HBM at bench scale, and a
+    viewer sigma_thresh slider session would otherwise accumulate one per
+    distinct crop (unbounded; the pre-r5 cache was one entry per perm)."""
+    for k in [k for k in cache
+              if isinstance(k, tuple) and len(k) == 2 and k[0] == perm]:
+        del cache[k]
 
 
 def default_gi(grid: DenseGrid) -> int:
@@ -1312,6 +1323,7 @@ def render_image(grid: DenseGrid, cam, opt: RenderOptions,
         # must not reuse a stale cropped payload)
         key = (perm, inplane_crop(grid, perm, float(opt.sigma_thresh)))
         if key not in payload_cache:
+            _evict_perm(payload_cache, perm)
             payload_cache[key] = prepare_payload(grid, perm, opt)
         payload = payload_cache[key]
     out = render_frame(grid, jnp.asarray(cam.transform), cam.fx, cam.fy,

@@ -234,8 +234,14 @@ class FrameTrainer(Trainer):
         cotangent (slab_grad._GRAD_BF16). Cuts the G=256 step's HBM
         footprint by ~5.9 GB (4.2 moments + 1.65 cotangent) at ~8-bit
         gradient/state rounding; gradient-parity tests pin the default
-        f32 path. Flips a trace-time module knob, so it clears jit
-        caches."""
+        f32 path.
+
+        The gradient-precision knob is PROCESS-GLOBAL and read at trace
+        time: constructing a FrameTrainer sets it to THIS trainer's mode
+        (latest wins, jit caches cleared), which also retraces any OTHER
+        live trainer's next step in the new mode. Mixing lean and
+        default trainers in one process is unsupported — use separate
+        processes for mixed-precision runs."""
         from volrend_tpu.ops import dense_grid, slab_grad
         # the knob is process-global and read at trace time: set it to
         # THIS trainer's mode either way (latest constructed wins), so a

@@ -153,8 +153,10 @@ async function refresh() {
   // time (slow link -> quarter res, fast link -> half). Sizes snap to
   // multiples of 4 so the (4,4)-block superquad fast path stays usable.
   const sc = dragging ? dragScale : 1;
-  const rw = Math.max(4, Math.floor(canvas.width / sc / 4) * 4);
-  const rh = Math.max(4, Math.floor(canvas.height / sc / 4) * 4);
+  const rw = sc > 1 ? Math.max(4, Math.floor(canvas.width / sc / 4) * 4)
+                    : canvas.width;
+  const rh = sc > 1 ? Math.max(4, Math.floor(canvas.height / sc / 4) * 4)
+                    : canvas.height;
   const r = await fetch(`/frame?w=${rw}&h=${rh}`);
   const blob = await r.blob();
   const img = await createImageBitmap(blob);
