@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--bank", action="store_true",
                     help="also write docs/TRAIN_DEMO.json (the banked "
                          "convergence artifact, VERDICT r4 item 5)")
+    ap.add_argument("--lean", action="store_true",
+                    help="FrameTrainer(lean=True): the bench-scale "
+                         "memory mode (bf16 moments + bf16 grad path)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +80,7 @@ def main():
             height=H))
 
     opt = RenderOptions(max_steps=1024)
-    tr = FrameTrainer(dev, opt=opt, lr=5e-2, gi=448)
+    tr = FrameTrainer(dev, opt=opt, lr=5e-2, gi=448, lean=args.lean)
 
     from volrend_tpu.ops import slab_render
 
